@@ -1,0 +1,136 @@
+"""PointNet++ primitives as fixed-shape JAX ops.
+
+TPU-native replacement for the reference CUDA extensions
+``pcdet/ops/pointnet2/pointnet2_batch`` / ``pointnet2_stack``
+(setup.py:79-109; consumed by pointnet2_backbone.py:4-6,27,43,254):
+furthest point sampling, ball query, grouping, and 3-NN feature propagation.
+
+Design notes (vs the CUDA kernels):
+  * everything is fixed-shape and mask-aware — padded points carry a validity
+    mask and are pushed to +inf distance so they are never sampled/grouped;
+  * FPS is the one inherently sequential op — implemented as a
+    ``lax.fori_loop`` of (argmax + running-min update) over the (N,) distance
+    vector. It is train-time only in HVPR (the point stream is skipped at
+    inference, detectors/pointpillar.py:54-55), so latency pressure is low;
+  * ball query keeps the FIRST ``nsample`` in-radius neighbors by point index
+    (matching the CUDA kernel's first-found semantics) via a top-k on masked
+    indices;
+  * all batch handling is via vmap — no batch-idx-prefixed coordinate lists.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+INF = 1e10
+
+
+@partial(jax.jit, static_argnames=('npoint',))
+def furthest_point_sample(xyz, mask, npoint):
+    """Iterative farthest point sampling.
+
+    Args:
+        xyz: (B, N, 3).
+        mask: (B, N) bool validity.
+        npoint: static number of samples.
+    Returns:
+        (B, npoint) int32 indices. If fewer than npoint valid points exist,
+        indices repeat the farthest remaining valid point.
+    """
+    def sample_one(pts, m):
+        n = pts.shape[0]
+        # start from the first valid point
+        first = jnp.argmax(m)
+        min_dist = jnp.where(m, INF, -INF)
+
+        def body(i, state):
+            min_d, idxs, last = state
+            d = jnp.sum((pts - pts[last]) ** 2, axis=-1)
+            min_d = jnp.minimum(min_d, jnp.where(m, d, -INF))
+            nxt = jnp.argmax(min_d)
+            idxs = idxs.at[i].set(last)
+            return min_d, idxs, nxt
+
+        idxs = jnp.zeros((npoint,), dtype=jnp.int32)
+        _, idxs, _ = jax.lax.fori_loop(0, npoint, body,
+                                       (min_dist, idxs, first.astype(jnp.int32)))
+        return idxs
+
+    return jax.vmap(sample_one)(xyz, mask)
+
+
+@partial(jax.jit, static_argnames=('nsample',))
+def ball_query(radius, nsample, xyz, new_xyz, mask):
+    """For each center, the first ``nsample`` points within ``radius``.
+
+    Args:
+        radius: float.
+        nsample: static int.
+        xyz: (B, N, 3) support points.
+        new_xyz: (B, S, 3) query centers.
+        mask: (B, N) support validity.
+    Returns:
+        idx: (B, S, nsample) int32 — first in-radius neighbor repeated into
+            empty slots (CUDA-kernel semantics: slot 0's index fills the rest);
+        cnt: (B, S) int32 number of genuine neighbors found.
+    """
+    def query_one(pts, centers, m):
+        n = pts.shape[0]
+        d2 = jnp.sum((centers[:, None, :] - pts[None, :, :]) ** 2, axis=-1)  # (S, N)
+        in_ball = (d2 < radius * radius) & m[None, :]
+        # first-found semantics: pick the nsample smallest indices among hits
+        key = jnp.where(in_ball, jnp.arange(n)[None, :], n)
+        neg_key, idx = jax.lax.top_k(-key, nsample)  # ascending index order
+        found = (-neg_key) < n
+        cnt = found.sum(axis=-1).astype(jnp.int32)
+        # backfill empty slots with the first hit (or 0 if no hits)
+        first_idx = idx[:, 0]
+        idx = jnp.where(found, idx, first_idx[:, None])
+        return idx.astype(jnp.int32), cnt
+
+    return jax.vmap(query_one)(xyz, new_xyz, mask)
+
+
+def group_points(features, idx):
+    """Gather (B, N, C) features at (B, S, K) indices -> (B, S, K, C)."""
+    return jax.vmap(lambda f, i: f[i])(features, idx)
+
+
+@jax.jit
+def three_nn(unknown, known, known_mask):
+    """3 nearest neighbors of each unknown point among known points.
+
+    Args:
+        unknown: (B, N, 3); known: (B, S, 3); known_mask: (B, S) bool.
+    Returns:
+        dist: (B, N, 3) distances; idx: (B, N, 3) int32.
+    """
+    def one(u, k, m):
+        d2 = jnp.sum((u[:, None, :] - k[None, :, :]) ** 2, axis=-1)  # (N, S)
+        d2 = jnp.where(m[None, :], d2, INF)
+        neg_d, idx = jax.lax.top_k(-d2, 3)
+        return jnp.sqrt(jnp.clip(-neg_d, 0, None)), idx.astype(jnp.int32)
+
+    return jax.vmap(one)(unknown, known, known_mask)
+
+
+@jax.jit
+def three_interpolate(features, idx, weight):
+    """Inverse-distance weighted interpolation.
+
+    Args:
+        features: (B, S, C); idx: (B, N, 3); weight: (B, N, 3).
+    Returns:
+        (B, N, C).
+    """
+    def one(f, i, w):
+        return (f[i] * w[..., None]).sum(axis=1)
+
+    return jax.vmap(one)(features, idx, weight)
+
+
+def three_nn_interpolate_weights(dist):
+    """Standard PointNet++ 3-NN weights: 1/d^2 normalized."""
+    recip = 1.0 / jnp.clip(dist ** 2, 1e-8, None)
+    return recip / recip.sum(axis=-1, keepdims=True)

@@ -1,0 +1,154 @@
+"""Point-cloud voxelization (pillarization) — device (JAX) and host (numpy).
+
+TPU-native replacement for the external ``spconv.utils.VoxelGenerator`` the
+reference calls from its data pipeline (data_processor.py:43-75, caps from
+hvpr.yaml:23-28: MAX_POINTS_PER_VOXEL=32, MAX_NUMBER_OF_VOXELS 16k/40k).
+
+Device version (``voxelize_jax``): fixed-shape, jit-safe. The ragged
+hash-table of spconv becomes a sort-based segment compaction — XLA's sort is
+the workhorse; everything downstream is gathers/scatters with static shapes.
+Semantics vs spconv:
+  * points are assigned to voxels in input order within a voxel and capped to
+    ``max_points_per_voxel`` keeping the FIRST points (matches spconv, because
+    the sort is stable),
+  * voxel order is pillar-linear-index order, not first-occurrence order
+    (documented deviation — VFE is order-invariant so this only affects which
+    voxels are dropped when the count exceeds ``max_voxels``, a rare event at
+    16384 sampled points).
+
+Host version (``VoxelGeneratorNumpy``) reproduces spconv's first-occurrence
+ordering exactly for data-pipeline parity.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=('max_voxels', 'max_points_per_voxel', 'grid_size_static'))
+def voxelize_jax(points, point_mask, point_cloud_range, voxel_size,
+                 max_voxels, max_points_per_voxel, grid_size_static):
+    """Voxelize one scan on device.
+
+    Args:
+        points: (N, C) with xyz in the first 3 channels (padded rows allowed).
+        point_mask: (N,) bool validity of each point row.
+        point_cloud_range: (6,) [x0, y0, z0, x1, y1, z1] (array or tuple).
+        voxel_size: (3,) [vx, vy, vz].
+        max_voxels: static int V.
+        max_points_per_voxel: static int P.
+        grid_size_static: static (nx, ny, nz) tuple.
+
+    Returns dict with fixed shapes:
+        voxels: (V, P, C) point features per voxel, zero padded.
+        voxel_coords: (V, 3) int32 (z, y, x) grid coords (0 for padded voxels).
+        voxel_num_points: (V,) int32.
+        voxel_mask: (V,) bool.
+    """
+    n, c = points.shape
+    nx, ny, nz = grid_size_static
+    pcr = jnp.asarray(point_cloud_range, dtype=points.dtype)
+    vsz = jnp.asarray(voxel_size, dtype=points.dtype)
+
+    gi = jnp.floor((points[:, 0:3] - pcr[0:3]) / vsz).astype(jnp.int32)  # (N, 3) x, y, z
+    in_range = ((gi[:, 0] >= 0) & (gi[:, 0] < nx)
+                & (gi[:, 1] >= 0) & (gi[:, 1] < ny)
+                & (gi[:, 2] >= 0) & (gi[:, 2] < nz))
+    valid = in_range & point_mask
+
+    num_cells = nx * ny * nz
+    pid = gi[:, 2] * (ny * nx) + gi[:, 1] * nx + gi[:, 0]
+    pid = jnp.where(valid, pid, num_cells)  # invalid points sort last
+
+    order = jnp.argsort(pid, stable=True)  # stable keeps input order within a voxel
+    spid = pid[order]
+    spoints = points[order]
+    svalid = valid[order]
+
+    head = svalid & jnp.concatenate([jnp.array([True]), spid[1:] != spid[:-1]])
+    voxel_idx = jnp.cumsum(head) - 1                       # (N,) segment id of each point
+    seg_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(head, jnp.arange(n), -1))
+    pos_in_voxel = jnp.arange(n) - seg_start               # (N,)
+
+    write = svalid & (pos_in_voxel < max_points_per_voxel) & (voxel_idx < max_voxels)
+    vi = jnp.where(write, voxel_idx, max_voxels)
+    pi = jnp.where(write, pos_in_voxel, 0)
+
+    voxels = jnp.zeros((max_voxels + 1, max_points_per_voxel, c), dtype=points.dtype)
+    voxels = voxels.at[vi, pi].set(spoints, mode='drop')[:max_voxels]
+
+    counts = jnp.zeros((max_voxels + 1,), dtype=jnp.int32)
+    counts = counts.at[vi].add(write.astype(jnp.int32), mode='drop')[:max_voxels]
+
+    head_write = head & (voxel_idx < max_voxels)
+    hv = jnp.where(head_write, voxel_idx, max_voxels)
+    szyx = jnp.stack([spid // (ny * nx), (spid // nx) % ny, spid % nx], axis=-1).astype(jnp.int32)
+    coords = jnp.zeros((max_voxels + 1, 3), dtype=jnp.int32)
+    coords = coords.at[hv].set(szyx, mode='drop')[:max_voxels]
+
+    voxel_mask = counts > 0
+    return {
+        'voxels': voxels,
+        'voxel_coords': coords,
+        'voxel_num_points': counts,
+        'voxel_mask': voxel_mask,
+    }
+
+
+class VoxelGeneratorNumpy:
+    """Host voxelizer with exact spconv ``VoxelGenerator`` semantics.
+
+    First-occurrence voxel ordering, first-``max_num_points`` point caps,
+    voxel-count cap keeping earliest-seen voxels (data_processor.py:46-55).
+    """
+
+    def __init__(self, voxel_size, point_cloud_range, max_num_points, max_voxels):
+        self.voxel_size = np.asarray(voxel_size, dtype=np.float32)
+        self.point_cloud_range = np.asarray(point_cloud_range, dtype=np.float32)
+        self.max_num_points = max_num_points
+        self.max_voxels = max_voxels
+        grid_size = (self.point_cloud_range[3:6] - self.point_cloud_range[0:3]) / self.voxel_size
+        self.grid_size = np.round(grid_size).astype(np.int64)  # (nx, ny, nz)
+
+    def generate(self, points):
+        """points (N, C) -> (voxels (V', P, C), coords (V', 3) zyx, num_points (V',))."""
+        nx, ny, nz = self.grid_size
+        gi = np.floor((points[:, 0:3] - self.point_cloud_range[0:3]) / self.voxel_size).astype(np.int64)
+        valid = ((gi[:, 0] >= 0) & (gi[:, 0] < nx)
+                 & (gi[:, 1] >= 0) & (gi[:, 1] < ny)
+                 & (gi[:, 2] >= 0) & (gi[:, 2] < nz))
+        points = points[valid]
+        gi = gi[valid]
+        pid = gi[:, 2] * (ny * nx) + gi[:, 1] * nx + gi[:, 0]
+
+        uniq, first_index, inverse = np.unique(pid, return_index=True, return_inverse=True)
+        # first-occurrence ordering of voxels
+        occ_order = np.argsort(first_index, kind='stable')
+        rank_of_uniq = np.empty_like(occ_order)
+        rank_of_uniq[occ_order] = np.arange(len(uniq))
+        voxel_rank = rank_of_uniq[inverse]  # (N,) voxel slot per point
+
+        num_voxels = min(len(uniq), self.max_voxels)
+        voxels = np.zeros((num_voxels, self.max_num_points, points.shape[1]), dtype=points.dtype)
+        coords = np.zeros((num_voxels, 3), dtype=np.int32)
+        num_points = np.zeros((num_voxels,), dtype=np.int32)
+
+        kept_uniq = uniq[occ_order[:num_voxels]]
+        coords[:, 0] = kept_uniq // (ny * nx)
+        coords[:, 1] = (kept_uniq // nx) % ny
+        coords[:, 2] = kept_uniq % nx
+
+        # vectorized segment compaction (same trick as the device path)
+        order = np.argsort(voxel_rank, kind='stable')
+        sr = voxel_rank[order]
+        head = np.concatenate([[True], sr[1:] != sr[:-1]]) if len(sr) else np.zeros(0, bool)
+        seg_start = np.maximum.accumulate(np.where(head, np.arange(len(sr)), -1)) if len(sr) else sr
+        pos = np.arange(len(sr)) - seg_start
+        write = (pos < self.max_num_points) & (sr < num_voxels)
+        voxels[sr[write], pos[write]] = points[order][write]
+        if write.any():
+            num_points = np.bincount(sr[write], minlength=num_voxels).astype(np.int32)
+        return voxels, coords, num_points

@@ -1,0 +1,114 @@
+"""NMS vs a sequential greedy oracle; voxelizer device/host parity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hvpr_tpu.ops import nms, rotated_iou, voxelizer
+
+
+def greedy_nms_oracle(boxes, scores, thresh):
+    order = np.argsort(-scores, kind='stable')
+    iou = np.asarray(rotated_iou.boxes_iou_bev_jit(jnp.asarray(boxes), jnp.asarray(boxes)))
+    keep = []
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    for i in order:
+        if scores[i] == -np.inf or suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j != i and iou[i, j] > thresh:
+                suppressed[j] = True
+    return keep
+
+
+def test_nms_matches_greedy_oracle():
+    rng = np.random.default_rng(42)
+    n = 200
+    boxes = np.zeros((n, 7), dtype=np.float32)
+    boxes[:, 0:2] = rng.uniform(0, 30, size=(n, 2))
+    boxes[:, 2] = 0.0
+    boxes[:, 3:5] = rng.uniform(1.0, 4.5, size=(n, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, size=n)
+    scores = rng.uniform(0, 1, size=n).astype(np.float32)
+
+    keep_idx, keep_mask = nms.nms_bev_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.1, pre_maxsize=256, post_maxsize=100)
+    got = list(np.asarray(keep_idx)[np.asarray(keep_mask)])
+    want = greedy_nms_oracle(boxes, scores, 0.1)
+    assert got == want[:100], (got[:10], want[:10])
+
+
+def test_nms_with_padding():
+    boxes = np.zeros((16, 7), dtype=np.float32)
+    boxes[0] = [0, 0, 0, 2, 2, 2, 0]
+    boxes[1] = [0.5, 0, 0, 2, 2, 2, 0]   # overlaps box 0
+    boxes[2] = [20, 20, 0, 2, 2, 2, 0.5]
+    scores = np.full(16, -np.inf, dtype=np.float32)
+    scores[0], scores[1], scores[2] = 0.9, 0.8, 0.7
+
+    keep_idx, keep_mask = nms.nms_bev_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.1, pre_maxsize=16, post_maxsize=8)
+    got = list(np.asarray(keep_idx)[np.asarray(keep_mask)])
+    assert got == [0, 2]
+
+
+def make_points(rng, n=500):
+    pts = np.zeros((n, 4), dtype=np.float32)
+    pts[:, 0] = rng.uniform(0, 47, size=n)
+    pts[:, 1] = rng.uniform(-19, 19, size=n)
+    pts[:, 2] = rng.uniform(-2.4, 0.4, size=n)
+    pts[:, 3] = rng.uniform(0, 1, size=n)
+    return pts
+
+
+def test_voxelizer_device_host_agree():
+    rng = np.random.default_rng(3)
+    pcr = [0, -19.84, -2.5, 47.36, 19.84, 0.5]
+    vsz = [0.16, 0.16, 3.0]
+    pts = make_points(rng)
+
+    gen = voxelizer.VoxelGeneratorNumpy(vsz, pcr, max_num_points=32, max_voxels=16000)
+    v_host, c_host, n_host = gen.generate(pts)
+
+    out = voxelizer.voxelize_jax(
+        jnp.asarray(pts), jnp.ones(len(pts), dtype=bool), tuple(pcr), tuple(vsz),
+        max_voxels=16000, max_points_per_voxel=32, grid_size_static=tuple(int(g) for g in gen.grid_size))
+    v_dev = np.asarray(out['voxels'])
+    c_dev = np.asarray(out['voxel_coords'])
+    n_dev = np.asarray(out['voxel_num_points'])
+    mask = np.asarray(out['voxel_mask'])
+
+    assert mask.sum() == len(c_host)  # same number of occupied pillars
+
+    # compare per-pillar contents keyed by grid coords (ordering differs by design)
+    def keyed(voxels, coords, counts):
+        d = {}
+        for v, c, n in zip(voxels, coords, counts):
+            if n == 0:
+                continue
+            pts_sorted = v[:n][np.lexsort(v[:n].T)]
+            d[tuple(c)] = (int(n), pts_sorted)
+        return d
+
+    host = keyed(v_host, c_host, n_host)
+    dev = keyed(v_dev[mask], c_dev[mask], n_dev[mask])
+    assert set(host) == set(dev)
+    for k in host:
+        assert host[k][0] == dev[k][0], k
+        np.testing.assert_allclose(host[k][1], dev[k][1], atol=1e-6)
+
+
+def test_voxelizer_point_cap():
+    # 100 identical points -> single voxel capped at max_num_points
+    pts = np.tile(np.array([[1.0, 0.0, -1.0, 0.5]], dtype=np.float32), (100, 1))
+    pcr = [0, -19.84, -2.5, 47.36, 19.84, 0.5]
+    gen = voxelizer.VoxelGeneratorNumpy([0.16, 0.16, 3.0], pcr, max_num_points=32, max_voxels=100)
+    v, c, n = gen.generate(pts)
+    assert v.shape[0] == 1 and n[0] == 32
+
+    out = voxelizer.voxelize_jax(
+        jnp.asarray(pts), jnp.ones(100, dtype=bool), tuple(pcr), (0.16, 0.16, 3.0),
+        max_voxels=100, max_points_per_voxel=32, grid_size_static=tuple(int(g) for g in gen.grid_size))
+    assert int(np.asarray(out['voxel_mask']).sum()) == 1
+    assert int(np.asarray(out['voxel_num_points'])[0]) == 32
