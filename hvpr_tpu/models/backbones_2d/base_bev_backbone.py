@@ -1,0 +1,141 @@
+"""BEV 2D conv backbones (flax, NHWC).
+
+Parity target: /root/reference/pcdet/models/backbones_2d/base_bev_backbone.py
+(BaseBEVBackbone:6-113 — SECOND/PointPillars conv pyramid + transpose-conv
+deblocks + concat; BaseBEVBackbone_Scale:116-315 — adds a parallel scale
+stream and per-level SFM residual blocks conv->CBAM(scale)->residual, run
+SFM_LAYER_NUMS times, and in training runs the shared-weight pyramid twice
+over the memory-fused and point-fused maps).
+
+TPU-native: NHWC layout throughout; the dual train pass shares parameters by
+construction (the same submodule instances are applied to both maps).
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..model_utils.layers import ConvBNReLU, DeconvBNReLU
+from .spatial_attention import SpatialAttention
+
+
+class _Block(nn.Module):
+    """One pyramid level: strided conv + LAYER_NUMS stride-1 convs."""
+
+    features: int
+    stride: int
+    layer_num: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = ConvBNReLU(self.features, stride=self.stride)(x, train)
+        for _ in range(self.layer_num):
+            x = ConvBNReLU(self.features)(x, train)
+        return x
+
+
+class BaseBEVBackbone(nn.Module):
+    model_cfg: dict
+    input_channels: int
+
+    @property
+    def num_bev_features(self):
+        ups = self.model_cfg.get('NUM_UPSAMPLE_FILTERS')
+        if ups:
+            return sum(ups)
+        return list(self.model_cfg.get('NUM_FILTERS', [self.input_channels]))[-1]
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        layer_nums = list(self.model_cfg.get('LAYER_NUMS', []))
+        layer_strides = list(self.model_cfg.get('LAYER_STRIDES', []))
+        num_filters = list(self.model_cfg.get('NUM_FILTERS', []))
+        upsample_strides = list(self.model_cfg.get('UPSAMPLE_STRIDES', []))
+        num_upsample = list(self.model_cfg.get('NUM_UPSAMPLE_FILTERS', []))
+
+        x = batch_dict['spatial_features']
+        ups = []
+        for i in range(len(layer_nums)):
+            x = _Block(num_filters[i], layer_strides[i], layer_nums[i])(x, train)
+            if upsample_strides:
+                s = upsample_strides[i]
+                if s >= 1:
+                    ups.append(DeconvBNReLU(num_upsample[i], int(s))(x, train))
+                else:
+                    ups.append(ConvBNReLU(num_upsample[i], kernel_size=int(round(1 / s)),
+                                          stride=int(round(1 / s)), padding=0)(x, train))
+            else:
+                ups.append(x)
+
+        if len(ups) > 1:
+            x = jnp.concatenate(ups, axis=-1)
+        elif ups:
+            x = ups[0]
+        if len(upsample_strides) > len(layer_nums):
+            x = DeconvBNReLU(x.shape[-1], int(upsample_strides[-1]))(x, train)
+
+        batch_dict['spatial_features_2d'] = x
+        return batch_dict
+
+
+class BaseBEVBackboneScale(nn.Module):
+    """Scale-aware backbone with CBAM-gated SFM residual blocks."""
+
+    model_cfg: dict
+    input_channels: int
+
+    @property
+    def num_bev_features(self):
+        return sum(self.model_cfg['NUM_UPSAMPLE_FILTERS'])
+
+    def setup(self):
+        layer_nums = list(self.model_cfg['LAYER_NUMS'])
+        layer_strides = list(self.model_cfg['LAYER_STRIDES'])
+        num_filters = list(self.model_cfg['NUM_FILTERS'])
+        num_scale = list(self.model_cfg['NUM_SCALE_FILTERS'])
+        upsample_strides = list(self.model_cfg['UPSAMPLE_STRIDES'])
+        num_upsample = list(self.model_cfg['NUM_UPSAMPLE_FILTERS'])
+
+        self.sfm_layer_nums = list(self.model_cfg['SFM_LAYER_NUMS'])
+        self.blocks = [_Block(num_filters[i], layer_strides[i], layer_nums[i])
+                       for i in range(len(layer_nums))]
+        self.sfm_blocks = [ConvBNReLU(num_filters[i]) for i in range(len(layer_nums))]
+        self.scale_blocks = [ConvBNReLU(num_scale[i], stride=layer_strides[i])
+                             for i in range(len(layer_nums))]
+        self.deblocks = [DeconvBNReLU(num_upsample[i], int(upsample_strides[i]))
+                         for i in range(len(layer_nums))]
+        self.attention = SpatialAttention()
+
+    def _level(self, i, x, y, train):
+        """One level's SFM stack: conv -> CBAM(scale) -> residual, repeated."""
+        x_att = x
+        for _ in range(self.sfm_layer_nums[i]):
+            t = self.sfm_blocks[i](x_att, train)
+            t = self.attention(t, y, train)
+            x_att = t + x_att
+        return x_att
+
+    def __call__(self, batch_dict, train: bool = False):
+        y = batch_dict['spatial_scale_features']
+        x = batch_dict['spatial_features']
+
+        if train:
+            x_pt = batch_dict['spatial_features_point']
+            ups, ups_pt = [], []
+            for i, block in enumerate(self.blocks):
+                x = block(x, train)
+                x_pt = block(x_pt, train)          # shared weights: same submodule
+                y = self.scale_blocks[i](y, train)
+                ups.append(self.deblocks[i](self._level(i, x, y, train), train))
+                ups_pt.append(self.deblocks[i](self._level(i, x_pt, y, train), train))
+            batch_dict['spatial_features_2d'] = jnp.concatenate(ups, axis=-1)
+            batch_dict['spatial_features_point_2d'] = jnp.concatenate(ups_pt, axis=-1)
+        else:
+            ups = []
+            for i, block in enumerate(self.blocks):
+                x = block(x, train)
+                y = self.scale_blocks[i](y, train)
+                ups.append(self.deblocks[i](self._level(i, x, y, train), train))
+            batch_dict['spatial_features_2d'] = jnp.concatenate(ups, axis=-1)
+        return batch_dict

@@ -1,0 +1,173 @@
+"""PointNet++ MSG point-stream backbone (flax, fixed-shape, batched).
+
+Parity target: /root/reference/pcdet/models/backbones_3d/pointnet2_backbone.py
+(PointNet2MSG:9-95 — SA(MSG) stack + FP upsampling back to all N points ->
+point_features (N, 64); channel wiring per hvpr.yaml:59-67) built on the CUDA
+ops the snapshot lacks (SURVEY.md §2b N3).
+
+TPU-native: FPS/ball-query/grouping/3-NN come from ops/pointnet2.py as
+fixed-shape masked JAX ops; batching is dense (B, N, C) tensors, so each SA
+level's shared MLP is one large MXU matmul over (B, S, nsample, C). This
+module runs only in training (the HVPR detector skips it at inference,
+detectors/pointpillar.py:54-55).
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops import pointnet2 as pn2
+from ..model_utils.layers import MaskedBatchNorm
+
+
+class SharedMLP(nn.Module):
+    """Per-point MLP (Dense + masked BN + ReLU stack)."""
+
+    channels: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        for ch in self.channels:
+            x = nn.Dense(ch, use_bias=False)(x)
+            x = MaskedBatchNorm()(x, mask, train)
+            x = nn.relu(x)
+        return x
+
+
+class SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction level."""
+
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features, mask, train: bool):
+        """
+        Args:
+            xyz: (B, N, 3); features: (B, N, C) or None; mask: (B, N).
+        Returns:
+            new_xyz (B, S, 3), new_features (B, S, sum(mlp[-1])), new_mask (B, S).
+        """
+        idx = pn2.furthest_point_sample(xyz, mask, self.npoint)       # (B, S)
+        new_xyz = pn2.group_points(xyz, idx)                          # (B, S, 3)
+        new_mask = jnp.take_along_axis(mask, idx, axis=1)             # (B, S)
+
+        outs = []
+        for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
+            nbr_idx, cnt = pn2.ball_query(radius, nsample, xyz, new_xyz, mask)
+            grouped_xyz = pn2.group_points(xyz, nbr_idx.reshape(*nbr_idx.shape[:1], -1))
+            grouped_xyz = grouped_xyz.reshape(*nbr_idx.shape, 3) - new_xyz[:, :, None, :]
+            if features is not None:
+                grouped_feat = pn2.group_points(features, nbr_idx.reshape(*nbr_idx.shape[:1], -1))
+                grouped_feat = grouped_feat.reshape(*nbr_idx.shape, features.shape[-1])
+                if self.use_xyz:
+                    grouped_feat = jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+            else:
+                grouped_feat = grouped_xyz
+
+            slot_mask = (jnp.arange(nsample)[None, None, :] < cnt[..., None]) \
+                & new_mask[..., None]                                  # (B, S, ns)
+            x = SharedMLP(mlp)(grouped_feat, slot_mask, train)
+            x = jnp.where(slot_mask[..., None], x, -1e9)
+            x = x.max(axis=2)                                          # (B, S, C)
+            x = jnp.where(x > -1e8, x, 0.0)
+            outs.append(x)
+        return new_xyz, jnp.concatenate(outs, axis=-1), new_mask
+
+
+class FPModule(nn.Module):
+    """Feature propagation: 3-NN inverse-distance interpolate + unit MLP."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
+                 unknown_mask, known_mask, train: bool):
+        dist, idx = pn2.three_nn(unknown_xyz, known_xyz, known_mask)
+        weight = pn2.three_nn_interpolate_weights(dist)
+        interpolated = pn2.three_interpolate(known_feats, idx, weight)  # (B, N, C)
+        if unknown_feats is not None:
+            interpolated = jnp.concatenate([interpolated, unknown_feats], axis=-1)
+        return SharedMLP(self.mlp)(interpolated, unknown_mask, train)
+
+
+class PointNet2MSG(nn.Module):
+    model_cfg: dict
+    input_channels: int          # raw point feature count incl. xyz
+
+    @property
+    def num_point_features(self):
+        return list(self.model_cfg['FP_MLPS'][0])[-1]
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        points = batch_dict['points']                     # (B, N, C)
+        mask = batch_dict.get('point_valid_mask')
+        if mask is None:
+            mask = jnp.ones(points.shape[:2], dtype=bool)
+        xyz = points[..., 0:3]
+        feats = points[..., 3:] if points.shape[-1] > 3 else None
+
+        sa_cfg = self.model_cfg['SA_CONFIG']
+        l_xyz, l_feats, l_mask = [xyz], [feats], [mask]
+        for k in range(len(sa_cfg['NPOINTS'])):
+            nx, nf, nm = SAModuleMSG(
+                npoint=int(sa_cfg['NPOINTS'][k]),
+                radii=list(sa_cfg['RADIUS'][k]),
+                nsamples=list(sa_cfg['NSAMPLE'][k]),
+                mlps=[list(m) for m in sa_cfg['MLPS'][k]],
+                use_xyz=sa_cfg.get('USE_XYZ', True),
+            )(l_xyz[k], l_feats[k], l_mask[k], train)
+            l_xyz.append(nx)
+            l_feats.append(nf)
+            l_mask.append(nm)
+
+        fp_mlps = [list(m) for m in self.model_cfg['FP_MLPS']]
+        for i in range(len(fp_mlps) - 1, -1, -1):
+            l_feats[i] = FPModule(fp_mlps[i])(
+                l_xyz[i], l_xyz[i + 1], l_feats[i], l_feats[i + 1],
+                l_mask[i], l_mask[i + 1], train)
+
+        batch_dict['point_features'] = l_feats[0]         # (B, N, C_fp0)
+        batch_dict['point_coords'] = l_xyz[0]
+        return batch_dict
+
+
+class PointNet2MSG_NOFP(nn.Module):
+    """SA(MSG) stack without feature propagation: features live at the last SA
+    level's points (pointnet2_backbone.py:97-172)."""
+
+    model_cfg: dict
+    input_channels: int
+
+    @property
+    def num_point_features(self):
+        return sum(int(m[-1]) for m in self.model_cfg['SA_CONFIG']['MLPS'][-1])
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        points = batch_dict['points']
+        mask = batch_dict.get('point_valid_mask')
+        if mask is None:
+            mask = jnp.ones(points.shape[:2], dtype=bool)
+        xyz = points[..., 0:3]
+        feats = points[..., 3:] if points.shape[-1] > 3 else None
+
+        sa_cfg = self.model_cfg['SA_CONFIG']
+        for k in range(len(sa_cfg['NPOINTS'])):
+            xyz, feats, mask = SAModuleMSG(
+                npoint=int(sa_cfg['NPOINTS'][k]),
+                radii=list(sa_cfg['RADIUS'][k]),
+                nsamples=list(sa_cfg['NSAMPLE'][k]),
+                mlps=[list(m) for m in sa_cfg['MLPS'][k]],
+                use_xyz=sa_cfg.get('USE_XYZ', True),
+            )(xyz, feats, mask, train)
+
+        batch_dict['point_features'] = feats
+        batch_dict['point_coords'] = xyz
+        batch_dict['point_valid_mask'] = mask
+        return batch_dict

@@ -1,0 +1,121 @@
+"""Axis-aligned IoU target assigner — vectorized, fixed-shape, jit-safe.
+
+Parity target: /root/reference/pcdet/models/dense_heads/target_assigner/
+axis_aligned_target_assigner.py (per-class nearest-BEV-IoU matching:144-146,
+force-match best anchor per gt:166-171, threshold fg/bg with the final
+force-match re-assert:173-199, ResidualCoder encoding of fg targets:201-205).
+
+TPU-native: the reference's per-sample Python loop and nonzero() indexing
+become masked (A, M) matrices under vmap over the batch; padded gt rows (all
+zeros) are masked out. Assignment precedence (matching the reference's
+overwrite order): -1 default < positives < background < force-matches.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....ops.rotated_iou import boxes_iou3d
+from ....utils import box_utils
+
+
+class AxisAlignedTargetAssigner:
+    def __init__(self, model_cfg, class_names, box_coder, match_height=False):
+        anchor_generator_cfg = model_cfg['ANCHOR_GENERATOR_CONFIG']
+        anchor_target_cfg = model_cfg['TARGET_ASSIGNER_CONFIG']
+        self.box_coder = box_coder
+        self.match_height = match_height
+        self.class_names = list(class_names)
+        self.anchor_class_names = [c['class_name'] for c in anchor_generator_cfg]
+        self.matched_thresholds = {c['class_name']: c['matched_threshold']
+                                   for c in anchor_generator_cfg}
+        self.unmatched_thresholds = {c['class_name']: c['unmatched_threshold']
+                                     for c in anchor_generator_cfg}
+        self.norm_by_num_examples = anchor_target_cfg.get('NORM_BY_NUM_EXAMPLES', False)
+        # POS_FRACTION subsampling (anchor_target_cfg POS_FRACTION >= 0) is a
+        # stochastic trainer-side rebalancing the shipped HVPR config disables
+        # (POS_FRACTION: -1.0); not implemented.
+
+    def assign_targets(self, all_anchors, gt_boxes_with_classes):
+        """
+        Args:
+            all_anchors: list of (nz, ny, nx, ns, nr, 7) arrays, one per class.
+            gt_boxes_with_classes: (B, M, 8) [x..heading, class_id]; padded rows zero.
+        Returns:
+            dict with box_cls_labels (B, A), box_reg_targets (B, A, code),
+            reg_weights (B, A) — anchor axis ordered (ny, nx, class, size, rot).
+        """
+        gt_boxes = gt_boxes_with_classes[..., :7]
+        gt_classes = gt_boxes_with_classes[..., 7].astype(jnp.int32)
+        gt_valid = jnp.abs(gt_boxes_with_classes).sum(axis=-1) > 0   # (B, M)
+
+        per_class = []
+        for cls_idx, (cls_name, anchors) in enumerate(zip(self.anchor_class_names, all_anchors)):
+            nz, ny, nx, ns, nr, _ = anchors.shape
+            flat_anchors = jnp.asarray(anchors.reshape(-1, 7))
+            cls_id = self.class_names.index(cls_name) + 1
+            cls_mask = gt_valid & (gt_classes == cls_id)             # (B, M)
+            single = jax.vmap(
+                partial(self._assign_single,
+                        flat_anchors,
+                        matched_threshold=self.matched_thresholds[cls_name],
+                        unmatched_threshold=self.unmatched_thresholds[cls_name]))(
+                gt_boxes, gt_classes, cls_mask)
+            # reshape to (B, ny*nx, ns*nr) for cross-class interleaving
+            b = gt_boxes.shape[0]
+            single = {k: v.reshape(b, nz * ny * nx, ns * nr, *v.shape[2:])
+                      for k, v in single.items()}
+            per_class.append(single)
+
+        labels = jnp.concatenate([s['labels'] for s in per_class], axis=2)
+        targets = jnp.concatenate([s['targets'] for s in per_class], axis=2)
+        weights = jnp.concatenate([s['weights'] for s in per_class], axis=2)
+        b = labels.shape[0]
+        return {
+            'box_cls_labels': labels.reshape(b, -1),
+            'box_reg_targets': targets.reshape(b, -1, targets.shape[-1]),
+            'reg_weights': weights.reshape(b, -1),
+        }
+
+    def _assign_single(self, anchors, gt_boxes, gt_classes, cls_mask,
+                       matched_threshold, unmatched_threshold):
+        """Single-sample, single-class assignment over (A,) anchors, (M,) gts."""
+        num_anchors = anchors.shape[0]
+
+        if self.match_height:
+            iou = boxes_iou3d(anchors, gt_boxes)                      # (A, M)
+        else:
+            iou = box_utils.boxes3d_nearest_bev_iou(anchors, gt_boxes)
+        iou = jnp.where(cls_mask[None, :], iou, -1.0)
+
+        any_gt = cls_mask.any()
+        anchor_to_gt_max = iou.max(axis=1)                            # (A,)
+        anchor_to_gt_argmax = iou.argmax(axis=1)
+        gt_to_anchor_max = iou.max(axis=0)                            # (M,)
+        # a gt with zero best-overlap is not force-matched (empty_gt rule)
+        gt_to_anchor_max = jnp.where(cls_mask & (gt_to_anchor_max > 0), gt_to_anchor_max, -1.0)
+        force = (iou == gt_to_anchor_max[None, :]) & (gt_to_anchor_max[None, :] > 0)
+        force_any = force.any(axis=1)                                 # (A,)
+
+        matched_cls = gt_classes[anchor_to_gt_argmax]                 # (A,)
+
+        labels = jnp.full((num_anchors,), -1, dtype=jnp.int32)
+        pos = anchor_to_gt_max >= matched_threshold
+        labels = jnp.where(pos, matched_cls, labels)
+        bg = anchor_to_gt_max < unmatched_threshold
+        labels = jnp.where(bg, 0, labels)
+        labels = jnp.where(force_any, matched_cls, labels)
+        labels = jnp.where(any_gt, labels, 0)                         # no gts -> all bg
+
+        fg = labels > 0
+        safe_gt = gt_boxes[anchor_to_gt_argmax]                       # (A, 7)
+        targets = self.box_coder.encode(safe_gt, anchors)
+        targets = jnp.where(fg[:, None], targets, 0.0)
+
+        weights = fg.astype(jnp.float32)
+        if self.norm_by_num_examples:
+            num_examples = jnp.clip((labels >= 0).sum().astype(jnp.float32), 1.0, None)
+            weights = weights / num_examples
+        return {'labels': labels, 'targets': targets, 'weights': weights}

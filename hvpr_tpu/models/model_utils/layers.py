@@ -1,0 +1,89 @@
+"""Shared flax building blocks for the detection models.
+
+TPU-native notes: all 2D convolutions run in NHWC (TPU conv layout); torch's
+``Conv2d(padding=1)`` is reproduced with explicit ((1, 1), (1, 1)) padding so
+strided outputs match the reference's window positions exactly. BatchNorm uses
+eps=1e-3 / momentum 0.01 (flax momentum = 0.99) matching the reference's
+``BatchNorm*(eps=1e-3, momentum=0.01)`` found throughout pillar_vfe.py and
+base_bev_backbone.py.
+
+``MaskedBatchNorm`` computes statistics over *valid* elements only — the
+reference's ragged tensors never see padding rows, ours are fixed-shape, so
+unmasked statistics would be polluted by padded voxels/points (documented
+design deviation: the reference itself includes zeroed in-voxel padding rows
+in its VFE BN statistics; we exclude all padding).
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the last axis with statistics from masked elements only."""
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        """x: (..., C); mask: broadcastable to x[..., 0] (bool); train: use batch stats."""
+        features = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean', lambda: jnp.zeros((features,)))
+        ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones((features,)))
+        scale = self.param('scale', nn.initializers.ones, (features,))
+        bias = self.param('bias', nn.initializers.zeros, (features,))
+
+        if train:
+            m = mask.astype(x.dtype)[..., None]
+            count = jnp.clip(m.sum(), 1.0, None)
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = (x * m).sum(axis=reduce_axes) / count
+            var = ((x - mean) ** 2 * m).sum(axis=reduce_axes) / count
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class ConvBNReLU(nn.Module):
+    """3x3-style conv + BN + ReLU block (NHWC), torch-compatible padding."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_relu: bool = True
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = ((self.padding, self.padding), (self.padding, self.padding))
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride), padding=pad,
+                    use_bias=not self.use_bn)(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3)(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class DeconvBNReLU(nn.Module):
+    """Transpose-conv upsampling block (NHWC)."""
+
+    features: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.ConvTranspose(self.features, (self.stride, self.stride),
+                             strides=(self.stride, self.stride), padding='VALID',
+                             use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3)(x)
+        return nn.relu(x)
