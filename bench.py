@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark: HVPR inference throughput on one TPU chip.
+
+Pipeline measured end-to-end on device (zero host round-trips per scan):
+synthetic KITTI-like scans -> fixed-shape voxelization -> PillarVFE_Scale ->
+memory-substituted scatter -> scale-aware BEV backbone -> anchor head ->
+rotated NMS. Prints ONE JSON line with scans/sec.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the paper reports
+~36 ms/scan (~28 scans/sec) on a single GPU, and the build target is >=2000
+scans/sec on a v5e-8 (BASELINE.json), i.e. 250 scans/sec/chip.
+vs_baseline is computed against 250 scans/sec/chip.
+
+Timing note: block_until_ready does not block through the axon tunnel; we
+chain N batches and force one device_get, subtracting the measured sync
+latency (see .claude/skills/verify/SKILL.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hvpr_tpu.config import cfg_from_yaml_file, ConfigDict
+from hvpr_tpu.models import build_network
+from hvpr_tpu.ops.voxelizer import voxelize_jax
+
+BATCH = int(os.environ.get('BENCH_BATCH', '16'))
+N_POINTS = 16384
+MAX_VOXELS = 16000
+BASELINE_SCANS_PER_SEC_PER_CHIP = 250.0
+
+
+class _DatasetStub:
+    def __init__(self, data_cfg, class_names):
+        self.class_names = class_names
+        pcr = np.asarray(data_cfg['POINT_CLOUD_RANGE'], dtype=np.float32)
+        proc = {p['NAME']: p for p in data_cfg['DATA_PROCESSOR']}
+        vs = np.asarray(proc['transform_points_to_voxels']['VOXEL_SIZE'], dtype=np.float32)
+        self.point_cloud_range = pcr
+        self.voxel_size = vs
+        self.grid_size = np.round((pcr[3:6] - pcr[0:3]) / vs).astype(np.int64)
+
+
+def synthetic_scans(rng, batch, n, pcr):
+    pts = np.zeros((batch, n, 4), dtype=np.float32)
+    pts[..., 0] = rng.uniform(pcr[0] + 0.1, pcr[3] - 0.1, (batch, n))
+    pts[..., 1] = rng.uniform(pcr[1] + 0.1, pcr[4] - 0.1, (batch, n))
+    pts[..., 2] = rng.uniform(pcr[2] + 0.1, pcr[5] - 0.1, (batch, n))
+    pts[..., 3] = rng.uniform(0, 1, (batch, n))
+    return pts
+
+
+def main():
+    cfg = ConfigDict()
+    cfg_from_yaml_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    'tools/cfgs/kitti_models/hvpr.yaml'), cfg)
+    dataset = _DatasetStub(cfg['DATA_CONFIG'], cfg['CLASS_NAMES'])
+    net = build_network(cfg['MODEL'], num_class=len(cfg['CLASS_NAMES']), dataset=dataset)
+
+    pcr = tuple(float(v) for v in dataset.point_cloud_range)
+    vsz = tuple(float(v) for v in dataset.voxel_size)
+    grid = tuple(int(g) for g in dataset.grid_size)
+
+    rng = np.random.default_rng(0)
+    scans = jnp.asarray(synthetic_scans(rng, BATCH, N_POINTS, pcr))
+    pmask = jnp.ones((BATCH, N_POINTS), dtype=bool)
+
+    def voxelize_batch(points, mask):
+        return jax.vmap(lambda p, m: voxelize_jax(
+            p, m, pcr, vsz, max_voxels=MAX_VOXELS, max_points_per_voxel=32,
+            grid_size_static=grid))(points, mask)
+
+    # init eval-path params with a tiny host batch
+    vox = voxelize_batch(scans, pmask)
+    init_batch = {
+        'points': scans, 'point_valid_mask': pmask,
+        'voxels': vox['voxels'], 'voxel_num_points': vox['voxel_num_points'],
+        'voxel_coords': vox['voxel_coords'], 'voxel_mask': vox['voxel_mask'],
+    }
+    net.variables = net.module.init(jax.random.PRNGKey(0), init_batch, train=False)
+
+    from hvpr_tpu.models.detectors.detector3d_template import post_processing
+
+    @jax.jit
+    def pipeline(variables, points, mask):
+        v = jax.vmap(lambda p, m: voxelize_jax(
+            p, m, pcr, vsz, max_voxels=MAX_VOXELS, max_points_per_voxel=32,
+            grid_size_static=grid))(points, mask)
+        batch = {
+            'points': points, 'point_valid_mask': mask,
+            'voxels': v['voxels'], 'voxel_num_points': v['voxel_num_points'],
+            'voxel_coords': v['voxel_coords'], 'voxel_mask': v['voxel_mask'],
+        }
+        out = net.module.apply(variables, batch, train=False)
+        res = post_processing(out, cfg['MODEL']['POST_PROCESSING'],
+                              len(cfg['CLASS_NAMES']))
+        return res['pred_scores']
+
+    # warm up (compile) and fully sync
+    out = pipeline(net.variables, scans, pmask)
+    _ = jax.device_get(out.ravel()[0])
+
+    n_iter = int(os.environ.get('BENCH_ITERS', '20'))
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = pipeline(net.variables, scans, pmask)
+    _ = jax.device_get(out.ravel()[0])
+    total = time.time() - t0
+    t0 = time.time()
+    _ = jax.device_get(out.ravel()[0])
+    sync = time.time() - t0
+
+    per_batch = (total - sync) / n_iter
+    scans_per_sec = BATCH / per_batch
+    print(json.dumps({
+        'metric': 'hvpr_inference_scans_per_sec_per_chip',
+        'value': round(scans_per_sec, 2),
+        'unit': 'scans/sec',
+        'vs_baseline': round(scans_per_sec / BASELINE_SCANS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()
