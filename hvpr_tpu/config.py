@@ -83,10 +83,12 @@ def merge_new_config(config, new_config):
     for key, val in new_config.items():
         if key == '_BASE_CONFIG_':
             continue
-        if isinstance(val, dict) and key in config and isinstance(config[key], dict):
-            merge_new_config(config[key], val)
-        else:
+        if not isinstance(val, dict):
             config[key] = val
+            continue
+        if key not in config or not isinstance(config[key], dict):
+            config[key] = ConfigDict()
+        merge_new_config(config[key], val)
     return config
 
 

@@ -69,7 +69,11 @@ def attentive_point_pooling(points, point_mask, pillars, k, chunk=2048):
     def process(pillar_chunk):                                # (B, chunk, C)
         score = jnp.einsum('bnc,bvc->bnv', points, pillar_chunk) + neg[..., None]
         score = jax.nn.softmax(score, axis=1)                 # over points
-        _, idx = jax.lax.top_k(jax.lax.stop_gradient(score.transpose(0, 2, 1)), k)  # (B, chunk, k)
+        # approx_max_k: full top_k sorts the 16384-point axis per pillar and
+        # dominates the step; 0.99-recall partial reduction is plenty here
+        _, idx = jax.lax.approx_max_k(
+            jax.lax.stop_gradient(score.transpose(0, 2, 1)), k,
+            recall_target=0.99)                               # (B, chunk, k)
         pts = jnp.take_along_axis(points[:, None, :, :],
                                   idx[..., None], axis=2)      # (B, chunk, k, C)
         agg_logits = (pillar_chunk[:, :, None, :] * pts).sum(-1)  # (B, chunk, k)
