@@ -54,8 +54,11 @@ class ConfigDict(dict):
 
 
 # the global configuration object, mirroring pcdet.config.cfg
+import os as _os
+
 cfg = ConfigDict()
-cfg.ROOT_DIR = Path(__file__).resolve().parent.parent
+cfg.ROOT_DIR = Path(_os.environ.get(
+    'HVPR_ROOT_DIR', Path(__file__).resolve().parent.parent))
 cfg.LOCAL_RANK = 0
 
 

@@ -69,11 +69,13 @@ def attentive_point_pooling(points, point_mask, pillars, k, chunk=2048):
     def process(pillar_chunk):                                # (B, chunk, C)
         score = jnp.einsum('bnc,bvc->bnv', points, pillar_chunk) + neg[..., None]
         score = jax.nn.softmax(score, axis=1)                 # over points
-        # approx_max_k: full top_k sorts the 16384-point axis per pillar and
-        # dominates the step; 0.99-recall partial reduction is plenty here
+        # approx_max_k on a 2D flatten: full top_k sorts the 16384-point axis
+        # per pillar and dominates the step (see memory_module eval notes)
+        score_t = jax.lax.stop_gradient(score.transpose(0, 2, 1))
+        bb, vv, nn = score_t.shape
         _, idx = jax.lax.approx_max_k(
-            jax.lax.stop_gradient(score.transpose(0, 2, 1)), k,
-            recall_target=0.99)                               # (B, chunk, k)
+            score_t.reshape(bb * vv, nn), k, recall_target=0.95)
+        idx = idx.reshape(bb, vv, k)                          # (B, chunk, k)
         pts = jnp.take_along_axis(points[:, None, :, :],
                                   idx[..., None], axis=2)      # (B, chunk, k, C)
         agg_logits = (pillar_chunk[:, :, None, :] * pts).sum(-1)  # (B, chunk, k)

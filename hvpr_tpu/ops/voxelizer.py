@@ -74,12 +74,16 @@ def voxelize_jax(points, point_mask, point_cloud_range, voxel_size,
     pos_in_voxel = jnp.arange(n) - seg_start               # (N,)
 
     write = svalid & (pos_in_voxel < max_points_per_voxel) & (voxel_idx < max_voxels)
+    # flat 1D scatter (a 2D-indexed scatter lowers much more slowly on TPU)
+    flat_idx = jnp.where(write,
+                         voxel_idx * max_points_per_voxel + pos_in_voxel,
+                         max_voxels * max_points_per_voxel)
+    voxels = jnp.zeros((max_voxels * max_points_per_voxel + 1, c), dtype=points.dtype)
+    voxels = voxels.at[flat_idx].set(spoints, mode='drop')
+    voxels = voxels[:max_voxels * max_points_per_voxel].reshape(
+        max_voxels, max_points_per_voxel, c)
+
     vi = jnp.where(write, voxel_idx, max_voxels)
-    pi = jnp.where(write, pos_in_voxel, 0)
-
-    voxels = jnp.zeros((max_voxels + 1, max_points_per_voxel, c), dtype=points.dtype)
-    voxels = voxels.at[vi, pi].set(spoints, mode='drop')[:max_voxels]
-
     counts = jnp.zeros((max_voxels + 1,), dtype=jnp.int32)
     counts = counts.at[vi].add(write.astype(jnp.int32), mode='drop')[:max_voxels]
 

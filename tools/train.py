@@ -1,0 +1,161 @@
+"""Training CLI.
+
+Parity target: /root/reference/tools/train.py (argparse:21-55, dist init +
+per-device batch split:63-76, output dir layout
+output/<exp_group>/<tag>/<extra_tag>/{ckpt,tensorboard,eval}:83-104,
+auto-resume from latest ckpt:131-141, post-train eval:180-196).
+
+TPU-native: the DDP wrap becomes a jax.sharding Mesh over all local chips;
+the per-GPU batch size becomes per-chip (global batch = per_chip * n_chips).
+"""
+
+import argparse
+import datetime
+import glob
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+from hvpr_tpu.config import (cfg, cfg_from_list, cfg_from_yaml_file,
+                             log_config_to_file)
+from hvpr_tpu.datasets import build_dataloader
+from hvpr_tpu.models import build_network
+from hvpr_tpu.optimization import build_optimizer
+from hvpr_tpu.parallel import TrainState, make_mesh, make_train_step
+from hvpr_tpu.utils import common_utils
+from train_utils.train_utils import load_checkpoint, train_model
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description='hvpr_tpu training')
+    parser.add_argument('--cfg_file', type=str, default=None, help='config for training')
+    parser.add_argument('--batch_size', type=int, default=None, help='global batch size')
+    parser.add_argument('--epochs', type=int, default=None)
+    parser.add_argument('--workers', type=int, default=4)
+    parser.add_argument('--extra_tag', type=str, default='default')
+    parser.add_argument('--ckpt', type=str, default=None, help='checkpoint to start from')
+    parser.add_argument('--pretrained_model', type=str, default=None)
+    parser.add_argument('--launcher', choices=['none', 'jax'], default='none')
+    parser.add_argument('--sync_bn', action='store_true', default=False,
+                        help='(always on: cross-replica BN stats are implicit)')
+    parser.add_argument('--fix_random_seed', action='store_true', default=False)
+    parser.add_argument('--ckpt_save_interval', type=int, default=1)
+    parser.add_argument('--max_ckpt_save_num', type=int, default=30)
+    parser.add_argument('--merge_all_iters_to_one_epoch', action='store_true', default=False)
+    parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER,
+                        help='set extra config keys')
+    args = parser.parse_args()
+
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    cfg.EXP_GROUP_PATH = '/'.join(args.cfg_file.split('/')[1:-1])
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, cfg_ = parse_config()
+    if args.launcher == 'jax':
+        common_utils.init_dist_jax()
+    dist_train = jax.process_count() > 1
+
+    n_devices = len(jax.devices())
+    if args.batch_size is None:
+        args.batch_size = cfg_.OPTIMIZATION.BATCH_SIZE_PER_GPU * n_devices
+    assert args.batch_size % n_devices == 0, \
+        f'global batch size {args.batch_size} not divisible by {n_devices} devices'
+    args.epochs = cfg_.OPTIMIZATION.NUM_EPOCHS if args.epochs is None else args.epochs
+
+    if args.fix_random_seed:
+        common_utils.set_random_seed(666)
+
+    output_dir = cfg_.ROOT_DIR / 'output' / cfg_.EXP_GROUP_PATH / cfg_.TAG / args.extra_tag
+    ckpt_dir = output_dir / 'ckpt'
+    output_dir.mkdir(parents=True, exist_ok=True)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    log_file = output_dir / f'log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt'
+    logger = common_utils.create_logger(log_file, rank=jax.process_index())
+    logger.info('**********************Start logging**********************')
+    logger.info('devices: %s', jax.devices())
+    for key, val in vars(args).items():
+        logger.info('%s: %s', key, val)
+    log_config_to_file(cfg_, logger=logger)
+
+    tb_log = None
+    if jax.process_index() == 0:
+        from torch.utils.tensorboard import SummaryWriter
+        tb_log = SummaryWriter(log_dir=str(output_dir / 'tensorboard'))
+
+    train_set, train_loader, train_sampler = build_dataloader(
+        dataset_cfg=cfg_.DATA_CONFIG, class_names=cfg_.CLASS_NAMES,
+        batch_size=args.batch_size, dist=dist_train,
+        root_path=Path(cfg_.DATA_CONFIG.DATA_PATH), workers=args.workers,
+        logger=logger, training=True,
+        merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
+        total_epochs=args.epochs)
+
+    net = build_network(cfg_.MODEL, num_class=len(cfg_.CLASS_NAMES), dataset=train_set)
+
+    # initialize parameters with one example batch
+    init_batch = train_set.collate_batch([train_set[0]])
+    device_init = {k: v for k, v in init_batch.items() if isinstance(v, np.ndarray)}
+    variables = net.module.init(jax.random.PRNGKey(0), device_init, train=True)
+
+    steps_per_epoch = len(train_loader)
+    tx, lr_fn = build_optimizer(
+        variables['params'], cfg_.OPTIMIZATION,
+        total_steps=steps_per_epoch * args.epochs,
+        total_iters_each_epoch=steps_per_epoch)
+
+    state = TrainState.create(variables, tx)
+    start_epoch = it = 0
+
+    if args.pretrained_model is not None:
+        ckpt = load_checkpoint(args.pretrained_model)
+        net.variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        skipped = net.load_state_dict(ckpt['model_state'])
+        state = state.replace(params=net.variables['params'],
+                              batch_stats=net.variables['batch_stats'])
+        logger.info('Loaded pretrained model, skipped keys: %s', skipped)
+
+    ckpt_to_resume = args.ckpt
+    if ckpt_to_resume is None:
+        ckpt_list = glob.glob(str(ckpt_dir / 'checkpoint_epoch_*.msgpack'))
+        if ckpt_list:
+            ckpt_list.sort(key=os.path.getmtime)
+            ckpt_to_resume = ckpt_list[-1]
+    if ckpt_to_resume is not None:
+        payload = load_checkpoint(ckpt_to_resume, state)
+        state = state.replace(params=payload['model_state']['params'],
+                              batch_stats=payload['model_state']['batch_stats'],
+                              opt_state=payload['optimizer_state'])
+        start_epoch = int(payload['epoch'])
+        it = int(payload['it'])
+        logger.info('Resumed from %s (epoch %d, it %d)', ckpt_to_resume,
+                    start_epoch, it)
+
+    mesh = make_mesh()
+    train_step = make_train_step(net.module, tx, mesh=mesh)
+
+    logger.info('**********************Start training %s/%s(%s)**********************',
+                cfg_.EXP_GROUP_PATH, cfg_.TAG, args.extra_tag)
+    state, it = train_model(
+        train_step, state, train_loader, mesh, lr_fn,
+        start_epoch=start_epoch, total_epochs=args.epochs, start_iter=it,
+        ckpt_save_dir=ckpt_dir, train_sampler=train_sampler, tb_log=tb_log,
+        ckpt_save_interval=args.ckpt_save_interval,
+        max_ckpt_save_num=args.max_ckpt_save_num,
+        merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
+        net=net, logger=logger)
+    logger.info('**********************End training**********************')
+
+
+if __name__ == '__main__':
+    main()
