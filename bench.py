@@ -29,7 +29,7 @@ import numpy as np
 
 from hvpr_tpu.config import cfg_from_yaml_file, ConfigDict
 from hvpr_tpu.models import build_network
-from hvpr_tpu.ops.voxelizer import voxelize_jax
+from hvpr_tpu.ops.voxelizer import voxelize_batch_jax
 
 BATCH = int(os.environ.get('BENCH_BATCH', '16'))
 N_POINTS = 16384
@@ -73,9 +73,9 @@ def main():
     pmask = jnp.ones((BATCH, N_POINTS), dtype=bool)
 
     def voxelize_batch(points, mask):
-        return jax.vmap(lambda p, m: voxelize_jax(
-            p, m, pcr, vsz, max_voxels=MAX_VOXELS, max_points_per_voxel=32,
-            grid_size_static=grid))(points, mask)
+        return voxelize_batch_jax(
+            points, mask, pcr, vsz, max_voxels=MAX_VOXELS,
+            max_points_per_voxel=32, grid_size_static=grid)
 
     # init eval-path params with a tiny host batch
     vox = voxelize_batch(scans, pmask)
@@ -90,9 +90,9 @@ def main():
 
     @jax.jit
     def pipeline(variables, points, mask):
-        v = jax.vmap(lambda p, m: voxelize_jax(
-            p, m, pcr, vsz, max_voxels=MAX_VOXELS, max_points_per_voxel=32,
-            grid_size_static=grid))(points, mask)
+        v = voxelize_batch_jax(
+            points, mask, pcr, vsz, max_voxels=MAX_VOXELS,
+            max_points_per_voxel=32, grid_size_static=grid)
         batch = {
             'points': points, 'point_valid_mask': mask,
             'voxels': v['voxels'], 'voxel_num_points': v['voxel_num_points'],

@@ -44,9 +44,13 @@ class Detector3DTemplate(nn.Module):
         cfg = self.model_cfg
         self.backbone_3d = None
         if cfg.get('BACKBONE_3D') is not None:
-            self.backbone_3d = backbones_3d[cfg['BACKBONE_3D']['NAME']](
-                model_cfg=cfg['BACKBONE_3D'],
-                input_channels=self.num_point_features)
+            name = cfg['BACKBONE_3D']['NAME']
+            kwargs = dict(model_cfg=cfg['BACKBONE_3D'],
+                          input_channels=self.num_point_features)
+            if name in ('VoxelBackBone8x', 'VoxelResBackBone8x',
+                        'VoxelBackBone8x_voxelrcnn', 'UNetV2'):
+                kwargs['grid_size'] = self.grid_size  # voxel-grid backbones
+            self.backbone_3d = backbones_3d[name](**kwargs)
 
         self.vfe = None
         vfe_out = self.num_point_features

@@ -102,6 +102,89 @@ def voxelize_jax(points, point_mask, point_cloud_range, voxel_size,
     }
 
 
+@partial(jax.jit, static_argnames=('max_voxels', 'max_points_per_voxel', 'grid_size_static'))
+def voxelize_batch_jax(points, point_mask, point_cloud_range, voxel_size,
+                       max_voxels, max_points_per_voxel, grid_size_static):
+    """Voxelize a whole batch with ONE fused sort.
+
+    Same semantics as vmapping :func:`voxelize_jax`, but the per-sample sorts
+    are fused into a single sort over batch-offset pillar ids — substantially
+    faster than the vmapped form on TPU.
+
+    Args:
+        points: (B, N, C); point_mask: (B, N); rest as voxelize_jax.
+    Returns dict of (B, V, ...) fixed-shape outputs.
+    """
+    b, n, c = points.shape
+    nx, ny, nz = grid_size_static
+    pcr = jnp.asarray(point_cloud_range, dtype=points.dtype)
+    vsz = jnp.asarray(voxel_size, dtype=points.dtype)
+
+    gi = jnp.floor((points[..., 0:3] - pcr[0:3]) / vsz).astype(jnp.int32)  # (B, N, 3)
+    in_range = ((gi[..., 0] >= 0) & (gi[..., 0] < nx)
+                & (gi[..., 1] >= 0) & (gi[..., 1] < ny)
+                & (gi[..., 2] >= 0) & (gi[..., 2] < nz))
+    valid = in_range & point_mask
+
+    num_cells = nx * ny * nz
+    pid = gi[..., 2] * (ny * nx) + gi[..., 1] * nx + gi[..., 0]            # (B, N)
+    batch_ids = jnp.arange(b, dtype=jnp.int32)[:, None]
+    key = jnp.where(valid, batch_ids * (num_cells + 1) + pid,
+                    b * (num_cells + 1))                                   # invalid last
+    flat_key = key.reshape(-1)
+    flat_points = points.reshape(-1, c)
+    flat_valid = valid.reshape(-1)
+
+    order = jnp.argsort(flat_key, stable=True)
+    skey = flat_key[order]
+    spoints = flat_points[order]
+    svalid = flat_valid[order]
+
+    total = b * n
+    head = svalid & jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
+    sbatch = skey // (num_cells + 1)                                       # (BN,)
+    # per-sample voxel slot: rank of this voxel within its sample
+    batch_start_flag = jnp.concatenate([jnp.array([True]), sbatch[1:] != sbatch[:-1]])
+    head_cum = jnp.cumsum(head)                                            # global voxel rank + 1
+    batch_head_base = jnp.where(batch_start_flag, head_cum - head, 0)
+    batch_base = jax.lax.associative_scan(jnp.maximum, batch_head_base)
+    voxel_idx = head_cum - 1 - batch_base                                  # per-sample slot
+
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(head, jnp.arange(total), -1))
+    pos_in_voxel = jnp.arange(total) - seg_start
+
+    write = svalid & (pos_in_voxel < max_points_per_voxel) & (voxel_idx < max_voxels)
+    slot = sbatch * max_voxels + voxel_idx                                 # (BN,)
+    flat_idx = jnp.where(write,
+                         slot * max_points_per_voxel + pos_in_voxel,
+                         b * max_voxels * max_points_per_voxel)
+    voxels = jnp.zeros((b * max_voxels * max_points_per_voxel + 1, c), dtype=points.dtype)
+    voxels = voxels.at[flat_idx].set(spoints, mode='drop')
+    voxels = voxels[:-1].reshape(b, max_voxels, max_points_per_voxel, c)
+
+    vslot = jnp.where(write, slot, b * max_voxels)
+    counts = jnp.zeros((b * max_voxels + 1,), dtype=jnp.int32)
+    counts = counts.at[vslot].add(write.astype(jnp.int32), mode='drop')
+    counts = counts[:-1].reshape(b, max_voxels)
+
+    head_write = head & (voxel_idx < max_voxels)
+    hslot = jnp.where(head_write, slot, b * max_voxels)
+    spid = skey % (num_cells + 1)
+    szyx = jnp.stack([spid // (ny * nx), (spid // nx) % ny, spid % nx],
+                     axis=-1).astype(jnp.int32)
+    coords = jnp.zeros((b * max_voxels + 1, 3), dtype=jnp.int32)
+    coords = coords.at[hslot].set(szyx, mode='drop')
+    coords = coords[:-1].reshape(b, max_voxels, 3)
+
+    return {
+        'voxels': voxels,
+        'voxel_coords': coords,
+        'voxel_num_points': counts,
+        'voxel_mask': counts > 0,
+    }
+
+
 class VoxelGeneratorNumpy:
     """Host voxelizer with exact spconv ``VoxelGenerator`` semantics.
 

@@ -99,6 +99,27 @@ def test_voxelizer_device_host_agree():
         np.testing.assert_allclose(host[k][1], dev[k][1], atol=1e-6)
 
 
+def test_voxelizer_batched_matches_vmapped():
+    import jax
+    rng = np.random.default_rng(5)
+    pcr = (0.0, -19.84, -2.5, 47.36, 19.84, 0.5)
+    vsz = (0.16, 0.16, 3.0)
+    grid = (296, 248, 1)
+    b, n = 3, 700
+    pts = np.stack([make_points(rng, n) for _ in range(b)])
+    mask = rng.uniform(size=(b, n)) > 0.1
+
+    ref = jax.vmap(lambda p, m: voxelizer.voxelize_jax(
+        p, m, pcr, vsz, max_voxels=512, max_points_per_voxel=8,
+        grid_size_static=grid))(jnp.asarray(pts), jnp.asarray(mask))
+    got = voxelizer.voxelize_batch_jax(
+        jnp.asarray(pts), jnp.asarray(mask), pcr, vsz,
+        max_voxels=512, max_points_per_voxel=8, grid_size_static=grid)
+
+    for k in ['voxels', 'voxel_coords', 'voxel_num_points', 'voxel_mask']:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]), err_msg=k)
+
+
 def test_voxelizer_point_cap():
     # 100 identical points -> single voxel capped at max_num_points
     pts = np.tile(np.array([[1.0, 0.0, -1.0, 0.5]], dtype=np.float32), (100, 1))
