@@ -102,23 +102,20 @@ def d3_box_overlap(boxes, qboxes, criterion=-1):
     """
     bev = bev_box_overlap(boxes[:, [0, 2, 3, 5, 6]],
                           qboxes[:, [0, 2, 3, 5, 6]], criterion=-2)
-    n, k = bev.shape
-    out = np.zeros((n, k), dtype=np.float64)
-    for i in range(n):
-        for j in range(k):
-            ymax = min(boxes[i, 1], qboxes[j, 1])
-            ymin = max(boxes[i, 1] - boxes[i, 4], qboxes[j, 1] - qboxes[j, 4])
-            ih = max(0.0, ymax - ymin)
-            inter = bev[i, j] * ih
-            if criterion == -1:
-                ua = (boxes[i, 3] * boxes[i, 4] * boxes[i, 5]
-                      + qboxes[j, 3] * qboxes[j, 4] * qboxes[j, 5] - inter)
-            elif criterion == 0:
-                ua = boxes[i, 3] * boxes[i, 4] * boxes[i, 5]
-            else:
-                ua = qboxes[j, 3] * qboxes[j, 4] * qboxes[j, 5]
-            out[i, j] = inter / max(ua, 1e-9)
-    return out
+    ymax = np.minimum(boxes[:, None, 1], qboxes[None, :, 1])
+    ymin = np.maximum(boxes[:, None, 1] - boxes[:, None, 4],
+                      qboxes[None, :, 1] - qboxes[None, :, 4])
+    ih = np.clip(ymax - ymin, 0.0, None)
+    inter = bev * ih
+    vol_b = boxes[:, 3] * boxes[:, 4] * boxes[:, 5]
+    vol_q = qboxes[:, 3] * qboxes[:, 4] * qboxes[:, 5]
+    if criterion == -1:
+        ua = vol_b[:, None] + vol_q[None, :] - inter
+    elif criterion == 0:
+        ua = np.broadcast_to(vol_b[:, None], inter.shape)
+    else:
+        ua = np.broadcast_to(vol_q[None, :], inter.shape)
+    return (inter / np.maximum(ua, 1e-9)).astype(np.float64)
 
 
 # ----------------------------------------------------------------- match core
@@ -129,6 +126,40 @@ NO_DETECTION = -10000000.0
 def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
                        dc_bboxes, metric, min_overlap, thresh=0.0,
                        compute_fp=False, compute_aos=False):
+    """Greedy per-image matching — dispatches to the native C++ kernel when
+    available (the Python loop below is the semantics oracle and fallback)."""
+    if native_geometry.available() and len(gt_datas) and len(dt_datas):
+        tp, fp, fn, similarity, thresholds, assigned = \
+            native_geometry.kitti_compute_statistics(
+                overlaps, gt_datas[:, 4], dt_datas[:, 4], dt_datas[:, 5],
+                ignored_gt, ignored_det, min_overlap, thresh,
+                compute_fp, compute_aos)
+        if compute_fp and metric == 0 and len(dc_bboxes) > 0:
+            # DontCare FP subtraction (bbox metric only), on the host
+            dt_scores = dt_datas[:, 5]
+            ignored_threshold = dt_scores < thresh if compute_fp else \
+                np.zeros(len(dt_scores), bool)
+            overlaps_dt_dc = image_box_overlap(dt_datas[:, :4],
+                                               np.asarray(dc_bboxes), 0)
+            nstuff = 0
+            for i in range(len(dc_bboxes)):
+                for j in range(len(dt_scores)):
+                    if (assigned[j] or ignored_det[j] == -1
+                            or ignored_det[j] == 1 or ignored_threshold[j]):
+                        continue
+                    if overlaps_dt_dc[j, i] > min_overlap:
+                        assigned[j] = True
+                        nstuff += 1
+            fp -= nstuff
+        return tp, fp, fn, similarity, thresholds
+    return _compute_statistics_py(
+        overlaps, gt_datas, dt_datas, ignored_gt, ignored_det, dc_bboxes,
+        metric, min_overlap, thresh, compute_fp, compute_aos)
+
+
+def _compute_statistics_py(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
+                           dc_bboxes, metric, min_overlap, thresh=0.0,
+                           compute_fp=False, compute_aos=False):
     """Greedy per-image matching (devkit semantics).
 
     Args:

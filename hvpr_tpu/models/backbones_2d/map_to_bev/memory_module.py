@@ -88,7 +88,7 @@ class MemoryUnitAgg(nn.Module):
             # flatten to 2D: approx_max_k lowers ~7x faster on (B*V, M) than
             # on the 3D view (measured 25 ms vs 170 ms at B*V=256k, M=2000)
             _, idx = jax.lax.approx_max_k(
-                logits.reshape(b * v, m), k, recall_target=0.95)
+                logits.reshape(b * v, m), k, recall_target=0.9)
             idx = idx.reshape(b, v, k)
         mem_topk = self.weight[idx]                                       # (B, V, k, C)
         output = self._aggregate(mem_topk, pillars)
