@@ -29,7 +29,7 @@ import numpy as np
 
 from hvpr_tpu.config import cfg_from_yaml_file, ConfigDict
 from hvpr_tpu.models import build_network
-from hvpr_tpu.ops.voxelizer import voxelize_batch_jax
+from hvpr_tpu.ops.voxelizer import voxelize_batch_flat
 
 BATCH = int(os.environ.get('BENCH_BATCH', '16'))
 N_POINTS = 16384
@@ -73,31 +73,23 @@ def main():
     pmask = jnp.ones((BATCH, N_POINTS), dtype=bool)
 
     def voxelize_batch(points, mask):
-        return voxelize_batch_jax(
+        return voxelize_batch_flat(
             points, mask, pcr, vsz, max_voxels=MAX_VOXELS,
             max_points_per_voxel=32, grid_size_static=grid)
 
     # init eval-path params with a tiny host batch
     vox = voxelize_batch(scans, pmask)
-    init_batch = {
-        'points': scans, 'point_valid_mask': pmask,
-        'voxels': vox['voxels'], 'voxel_num_points': vox['voxel_num_points'],
-        'voxel_coords': vox['voxel_coords'], 'voxel_mask': vox['voxel_mask'],
-    }
+    init_batch = {'points': scans, 'point_valid_mask': pmask, **vox}
     net.variables = net.module.init(jax.random.PRNGKey(0), init_batch, train=False)
 
     from hvpr_tpu.models.detectors.detector3d_template import post_processing
 
     @jax.jit
     def pipeline(variables, points, mask):
-        v = voxelize_batch_jax(
+        v = voxelize_batch_flat(
             points, mask, pcr, vsz, max_voxels=MAX_VOXELS,
             max_points_per_voxel=32, grid_size_static=grid)
-        batch = {
-            'points': points, 'point_valid_mask': mask,
-            'voxels': v['voxels'], 'voxel_num_points': v['voxel_num_points'],
-            'voxel_coords': v['voxel_coords'], 'voxel_mask': v['voxel_mask'],
-        }
+        batch = {'points': points, 'point_valid_mask': mask, **v}
         out = net.module.apply(variables, batch, train=False)
         res = post_processing(out, cfg['MODEL']['POST_PROCESSING'],
                               len(cfg['CLASS_NAMES']))

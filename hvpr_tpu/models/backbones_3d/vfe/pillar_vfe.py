@@ -22,20 +22,38 @@ from ...model_utils.layers import MaskedBatchNorm
 
 
 class PFNLayer(nn.Module):
-    """Linear -> (masked) BN -> ReLU -> max-pool over points-in-pillar."""
+    """Linear -> (masked) BN -> ReLU -> max-pool over points-in-pillar.
+
+    Two input layouts share the same parameters:
+      * padded: inputs (B, V, P, C) + point_mask (B, V, P),
+      * flat: inputs (R, C) + point_mask (R,) + flat_slot (R,) pillar-slot ids
+        + num_slots — the max-pool becomes a small scatter-max over slots.
+    """
 
     out_channels: int
     use_norm: bool = True
     last_layer: bool = False
 
     @nn.compact
-    def __call__(self, inputs, point_mask, train: bool):
-        """inputs: (B, V, P, C); point_mask: (B, V, P) bool."""
+    def __call__(self, inputs, point_mask, train: bool,
+                 flat_slot=None, num_slots=None):
         out_ch = self.out_channels if self.last_layer else self.out_channels // 2
         x = nn.Dense(out_ch, use_bias=not self.use_norm)(inputs)
         if self.use_norm:
             x = MaskedBatchNorm()(x, point_mask, train)
         x = nn.relu(x)
+
+        if flat_slot is not None:
+            slot = jnp.where(point_mask, flat_slot, num_slots)
+            seg = jnp.full((num_slots + 1, out_ch), -1e9, x.dtype)
+            seg = seg.at[slot].max(x, mode='drop')[:num_slots]
+            seg = jnp.where(seg > -1e8, seg, 0.0)           # empty slots -> 0
+            if self.last_layer:
+                return seg                                   # (num_slots, C)
+            x = jnp.where(point_mask[..., None], x, 0.0)
+            return jnp.concatenate([x, seg[jnp.clip(flat_slot, 0, num_slots - 1)]],
+                                   axis=-1)
+
         x = jnp.where(point_mask[..., None], x, -1e9)
         x_max = x.max(axis=2, keepdims=True)               # (B, V, 1, C)
         x_max = jnp.where(x_max > -1e8, x_max, 0.0)        # fully-empty pillars -> 0
@@ -79,6 +97,48 @@ def decorate_pillar_features(voxels, num_points, coords, voxel_size, point_cloud
     point_mask = jnp.arange(p)[None, None, :] < num_points[..., None]    # (B, V, P)
     features = features * point_mask[..., None]
     return features, point_mask, points_mean.squeeze(2)
+
+
+def decorate_flat_features(batch_dict, voxel_size, point_cloud_range,
+                           use_absolute_xyz=True, with_distance=False):
+    """Flat-layout decoration: per-point rows (R, C_dec) + pillar means.
+
+    Consumes voxelize_batch_flat outputs (flat_points/flat_slot/flat_write +
+    counts/coords); no (B, V, P, C) tensor is ever built.
+    """
+    pts = batch_dict['flat_points']                  # (R, C_raw)
+    slot = batch_dict['flat_slot']                   # (R,)
+    write = batch_dict['flat_write']                 # (R,)
+    counts = batch_dict['voxel_num_points']          # (B, V)
+    coords = batch_dict['voxel_coords']              # (B, V, 3)
+    b, v = counts.shape
+    num_slots = b * v
+
+    vx, vy, vz = voxel_size
+    x0, y0, z0 = point_cloud_range[0:3]
+
+    safe_slot = jnp.where(write, slot, num_slots)
+    sums = jnp.zeros((num_slots + 1, 3), dtype=pts.dtype)
+    sums = sums.at[safe_slot].add(pts[:, :3] * write[:, None], mode='drop')[:num_slots]
+    cnt = jnp.clip(counts.reshape(-1, 1).astype(pts.dtype), 1.0, None)
+    means = sums / cnt                               # (B*V, 3)
+
+    gslot = jnp.clip(slot, 0, num_slots - 1)
+    f_cluster = pts[:, :3] - means[gslot]
+
+    coords_flat = coords.reshape(-1, 3)
+    center = jnp.stack([
+        coords_flat[gslot, 2].astype(pts.dtype) * vx + (vx / 2 + x0),
+        coords_flat[gslot, 1].astype(pts.dtype) * vy + (vy / 2 + y0),
+        coords_flat[gslot, 0].astype(pts.dtype) * vz + (vz / 2 + z0),
+    ], axis=-1)
+    f_center = pts[:, :3] - center
+
+    parts = [pts if use_absolute_xyz else pts[:, 3:], f_cluster, f_center]
+    if with_distance:
+        parts.append(jnp.linalg.norm(pts[:, :3], axis=-1, keepdims=True))
+    features = jnp.concatenate(parts, axis=-1) * write[:, None]
+    return features, means.reshape(b, v, 3)
 
 
 class PillarVFE(nn.Module):
@@ -128,17 +188,35 @@ class PillarVFE_Scale(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
-        features, point_mask, points_mean = decorate_pillar_features(
-            batch_dict['voxels'], batch_dict['voxel_num_points'], batch_dict['voxel_coords'],
-            self.voxel_size, self.point_cloud_range,
-            use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
-            with_distance=self.model_cfg.get('WITH_DISTANCE', False))
-
         num_filters = list(self.model_cfg['NUM_FILTERS'])
         use_norm = self.model_cfg.get('USE_NORM', True)
-        for i, out_ch in enumerate(num_filters):
-            features = PFNLayer(out_ch, use_norm, last_layer=(i == len(num_filters) - 1))(
-                features, point_mask, train)
+
+        if 'flat_points' in batch_dict:
+            # flat path (device voxelization, no (B, V, P, C) materialization)
+            features, points_mean = decorate_flat_features(
+                batch_dict, self.voxel_size, self.point_cloud_range,
+                use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
+                with_distance=self.model_cfg.get('WITH_DISTANCE', False))
+            b, v = batch_dict['voxel_num_points'].shape
+            write = batch_dict['flat_write']
+            for i, out_ch in enumerate(num_filters):
+                features = PFNLayer(out_ch, use_norm,
+                                    last_layer=(i == len(num_filters) - 1))(
+                    features, write, train,
+                    flat_slot=batch_dict['flat_slot'], num_slots=b * v)
+            features = features.reshape(b, v, -1)
+        else:
+            features, point_mask, points_mean = decorate_pillar_features(
+                batch_dict['voxels'], batch_dict['voxel_num_points'],
+                batch_dict['voxel_coords'],
+                self.voxel_size, self.point_cloud_range,
+                use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
+                with_distance=self.model_cfg.get('WITH_DISTANCE', False))
+            for i, out_ch in enumerate(num_filters):
+                features = PFNLayer(out_ch, use_norm,
+                                    last_layer=(i == len(num_filters) - 1))(
+                    features, point_mask, train)
+            batch_dict['pillar_point_mask'] = point_mask
 
         # scale stream: (num_points, ||mean||, mean_xyz) -> MLP
         voxel_mask = batch_dict['voxel_num_points'] > 0
@@ -153,7 +231,6 @@ class PillarVFE_Scale(nn.Module):
 
         batch_dict['pillar_features'] = features
         batch_dict['pillar_scale_features'] = scale
-        batch_dict['pillar_point_mask'] = point_mask
         return batch_dict
 
 

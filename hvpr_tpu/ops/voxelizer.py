@@ -102,19 +102,9 @@ def voxelize_jax(points, point_mask, point_cloud_range, voxel_size,
     }
 
 
-@partial(jax.jit, static_argnames=('max_voxels', 'max_points_per_voxel', 'grid_size_static'))
-def voxelize_batch_jax(points, point_mask, point_cloud_range, voxel_size,
-                       max_voxels, max_points_per_voxel, grid_size_static):
-    """Voxelize a whole batch with ONE fused sort.
-
-    Same semantics as vmapping :func:`voxelize_jax`, but the per-sample sorts
-    are fused into a single sort over batch-offset pillar ids — substantially
-    faster than the vmapped form on TPU.
-
-    Args:
-        points: (B, N, C); point_mask: (B, N); rest as voxelize_jax.
-    Returns dict of (B, V, ...) fixed-shape outputs.
-    """
+def _voxelize_batch_core(points, point_mask, point_cloud_range, voxel_size,
+                         max_voxels, max_points_per_voxel, grid_size_static):
+    """Shared sort/compaction core for the batched voxelizers."""
     b, n, c = points.shape
     nx, ny, nz = grid_size_static
     pcr = jnp.asarray(point_cloud_range, dtype=points.dtype)
@@ -156,13 +146,6 @@ def voxelize_batch_jax(points, point_mask, point_cloud_range, voxel_size,
 
     write = svalid & (pos_in_voxel < max_points_per_voxel) & (voxel_idx < max_voxels)
     slot = sbatch * max_voxels + voxel_idx                                 # (BN,)
-    flat_idx = jnp.where(write,
-                         slot * max_points_per_voxel + pos_in_voxel,
-                         b * max_voxels * max_points_per_voxel)
-    voxels = jnp.zeros((b * max_voxels * max_points_per_voxel + 1, c), dtype=points.dtype)
-    voxels = voxels.at[flat_idx].set(spoints, mode='drop')
-    voxels = voxels[:-1].reshape(b, max_voxels, max_points_per_voxel, c)
-
     vslot = jnp.where(write, slot, b * max_voxels)
     counts = jnp.zeros((b * max_voxels + 1,), dtype=jnp.int32)
     counts = counts.at[vslot].add(write.astype(jnp.int32), mode='drop')
@@ -178,10 +161,62 @@ def voxelize_batch_jax(points, point_mask, point_cloud_range, voxel_size,
     coords = coords[:-1].reshape(b, max_voxels, 3)
 
     return {
-        'voxels': voxels,
+        'sorted_points': spoints,        # (B*N, C) sorted by (batch, pillar)
+        'flat_slot': slot,               # (B*N,) b*V + v (garbage where not write)
+        'flat_write': write,             # (B*N,) bool
+        'pos_in_voxel': pos_in_voxel,
         'voxel_coords': coords,
         'voxel_num_points': counts,
         'voxel_mask': counts > 0,
+    }
+
+
+@partial(jax.jit, static_argnames=('max_voxels', 'max_points_per_voxel', 'grid_size_static'))
+def voxelize_batch_jax(points, point_mask, point_cloud_range, voxel_size,
+                       max_voxels, max_points_per_voxel, grid_size_static):
+    """Voxelize a whole batch with ONE fused sort, materializing (B, V, P, C).
+
+    Same semantics as vmapping :func:`voxelize_jax`, but substantially faster
+    (the per-sample sorts fuse into one sort over batch-offset pillar ids).
+    """
+    b, n, c = points.shape
+    core = _voxelize_batch_core(points, point_mask, point_cloud_range, voxel_size,
+                                max_voxels, max_points_per_voxel, grid_size_static)
+    write = core['flat_write']
+    flat_idx = jnp.where(write,
+                         core['flat_slot'] * max_points_per_voxel + core['pos_in_voxel'],
+                         b * max_voxels * max_points_per_voxel)
+    voxels = jnp.zeros((b * max_voxels * max_points_per_voxel + 1, c), dtype=points.dtype)
+    voxels = voxels.at[flat_idx].set(core['sorted_points'], mode='drop')
+    voxels = voxels[:-1].reshape(b, max_voxels, max_points_per_voxel, c)
+    return {
+        'voxels': voxels,
+        'voxel_coords': core['voxel_coords'],
+        'voxel_num_points': core['voxel_num_points'],
+        'voxel_mask': core['voxel_mask'],
+    }
+
+
+@partial(jax.jit, static_argnames=('max_voxels', 'max_points_per_voxel', 'grid_size_static'))
+def voxelize_batch_flat(points, point_mask, point_cloud_range, voxel_size,
+                        max_voxels, max_points_per_voxel, grid_size_static):
+    """Batched voxelization WITHOUT materializing the (B, V, P, C) tensor.
+
+    Feeds the flat-point VFE path: per-point rows stay in the sorted (B*N, C)
+    layout with a (B*N,) pillar-slot index; the VFE reduces them with small
+    scatter-max ops. Scattering into the 3%-occupancy (B*V*P, C) buffer costs
+    ~20 ms per 16-scan batch (output-size bound); this path avoids it
+    entirely and shrinks the PFN matmuls by the padding factor (32x).
+    """
+    core = _voxelize_batch_core(points, point_mask, point_cloud_range, voxel_size,
+                                max_voxels, max_points_per_voxel, grid_size_static)
+    return {
+        'flat_points': core['sorted_points'],
+        'flat_slot': core['flat_slot'],
+        'flat_write': core['flat_write'],
+        'voxel_coords': core['voxel_coords'],
+        'voxel_num_points': core['voxel_num_points'],
+        'voxel_mask': core['voxel_mask'],
     }
 
 

@@ -160,3 +160,15 @@ def test_train_then_eval_cli(tmp_path):
         capture_output=True, text=True, timeout=1200, env=env, cwd=str(tmp_path))
     assert out.returncode == 0, out.stderr[-4000:]
     assert 'Evaluation done' in out.stdout + out.stderr
+
+    # demo CLI on the raw velodyne dir with the trained checkpoint
+    out = subprocess.run(
+        [sys.executable, str(REPO / 'tools' / 'demo.py'),
+         '--cfg_file', 'cfgs/kitti_models/mini_hvpr.yaml',
+         '--data_path', str(root / 'training' / 'velodyne'),
+         '--ckpt', str(ckpts[-1]),
+         '--save_bev', str(tmp_path / 'bev')],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=str(tmp_path))
+    assert out.returncode == 0, out.stderr[-4000:]
+    assert 'Demo done' in out.stdout + out.stderr
+    assert list((tmp_path / 'bev').glob('*.png'))
