@@ -90,9 +90,12 @@ class MemoryUnitAgg(nn.Module):
             _, idx = jax.lax.approx_max_k(
                 logits.reshape(b * v, m), k, recall_target=0.9)
             idx = idx.reshape(b, v, k)
-        mem_topk = self.weight[idx]                                       # (B, V, k, C)
-        output = self._aggregate(mem_topk, pillars)
-        return {'output': output, 'att': logits}
+        # gather + aggregate in bf16: the (B, V, k, C) gather is HBM-bound
+        # (1.3 GB f32 at B=16); the 20-way similarity softmax is insensitive
+        # to bf16, and the output is cast back to f32
+        mem_topk = self.weight.astype(jnp.bfloat16)[idx]                  # (B, V, k, C)
+        output = self._aggregate(mem_topk, pillars.astype(jnp.bfloat16))
+        return {'output': output.astype(pillars.dtype), 'att': logits}
 
     def __call__(self, pillars, k):
         # default entry used for parameter initialization
