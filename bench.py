@@ -80,7 +80,7 @@ def main():
     # init eval-path params with a tiny host batch
     vox = voxelize_batch(scans, pmask)
     init_batch = {'points': scans, 'point_valid_mask': pmask, **vox}
-    net.variables = net.module.init(jax.random.PRNGKey(0), init_batch, train=False)
+    net.init(jax.random.PRNGKey(0), init_batch, train=False)
 
     from hvpr_tpu.models.detectors.detector3d_template import post_processing
 

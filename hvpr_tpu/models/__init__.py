@@ -54,9 +54,15 @@ class Network:
 
     # -------------------------------------------------------------- lifecycle
 
-    def init(self, rng, example_batch):
-        """Initialize all parameters (runs the train path to create the full tree)."""
-        self.variables = self.module.init(rng, example_batch, train=True)
+    def init(self, rng, example_batch, train=True):
+        """Initialize parameters (train path creates the full tree).
+
+        Jitted: flax's eager init dispatches every primitive separately, which
+        is pathologically slow through a remote-device transport (~10 min for
+        the full model vs ~1 compile).
+        """
+        init_fn = jax.jit(self.module.init, static_argnames=('train',))
+        self.variables = init_fn(rng, example_batch, train=train)
         return self.variables
 
     # ------------------------------------------------------------------ train

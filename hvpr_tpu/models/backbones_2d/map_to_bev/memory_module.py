@@ -46,23 +46,42 @@ class MemoryUnitAgg(nn.Module):
         agg_w = jax.lax.stop_gradient(agg_w)
         return (agg_w[..., None] * candidates).sum(axis=-2)              # (B, V, C)
 
-    def train_forward(self, pillars, point_topk):
+    def train_forward(self, pillars, point_topk, row_chunk=65536):
         """Training: reconstruct the k attentive point features from memory.
+
+        The (B*V*k, M) addressing matrix is ~10 GB at batch 4 — far beyond
+        HBM if materialized at once (the reference can, at batch 1 per GPU).
+        All ops are row-local, so rows are processed in rematerialized chunks:
+        live memory is one (row_chunk, M) block; backward recomputes it.
 
         Args:
             pillars: (B, V, C) pillar features.
             point_topk: (B, V, k, C) top-k attentive point features per pillar.
         Returns:
-            dict(output=(B, V, C) aggregated reconstructions, att=(B, V, k, M)).
+            dict(output=(B, V, C) aggregated reconstructions).
         """
-        att = jax.nn.softmax(
-            jnp.einsum('bvkc,mc->bvkm', point_topk, self.weight), axis=-1)
-        if self.shrink_thres > 0:
-            att = hard_shrink_relu(att, lambd=self.shrink_thres)
-            att = att / jnp.clip(jnp.abs(att).sum(axis=-1, keepdims=True), 1e-12, None)
-        recon = jnp.einsum('bvkm,mc->bvkc', att, self.weight)
+        b, v, k, c = point_topk.shape
+        rows = point_topk.reshape(-1, c)
+        r = rows.shape[0]
+        pad = (-r) % row_chunk
+        rows_p = jnp.pad(rows, ((0, pad), (0, 0)))
+        num_chunks = (r + pad) // row_chunk
+
+        weight = self.weight
+
+        @jax.checkpoint
+        def chunk_fn(block):                                  # (row_chunk, C)
+            att = jax.nn.softmax(block @ weight.T, axis=-1)
+            if self.shrink_thres > 0:
+                att = hard_shrink_relu(att, lambd=self.shrink_thres)
+                att = att / jnp.clip(jnp.abs(att).sum(axis=-1, keepdims=True),
+                                     1e-12, None)
+            return att @ weight
+
+        recon = jax.lax.map(chunk_fn, rows_p.reshape(num_chunks, row_chunk, c))
+        recon = recon.reshape(-1, c)[:r].reshape(b, v, k, c)
         output = self._aggregate(recon, pillars)
-        return {'output': output, 'att': att}
+        return {'output': output}
 
     def eval_forward(self, pillars, k, exact_topk: bool = False):
         """Inference: pillars address the memory; top-k rows are aggregated.

@@ -66,7 +66,11 @@ def attentive_point_pooling(points, point_mask, pillars, k, chunk=2048):
 
     neg = jnp.where(point_mask, 0.0, -1e9)                    # (B, N)
 
+    @jax.checkpoint
     def process(pillar_chunk):                                # (B, chunk, C)
+        # remat: the (N, chunk) attention scores would otherwise be saved for
+        # backward across all chunks (~4 GB per 4-scan batch); recomputing
+        # them in the backward pass trades ~15% extra flops for that memory
         score = jnp.einsum('bnc,bvc->bnv', points, pillar_chunk) + neg[..., None]
         score = jax.nn.softmax(score, axis=1)                 # over points
         # approx_max_k on a 2D flatten: full top_k sorts the 16384-point axis

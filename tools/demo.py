@@ -80,7 +80,7 @@ def main():
     init_batch = demo_dataset.collate_batch([demo_dataset[0]])
     device_init = load_data_to_gpu(
         {k: v for k, v in init_batch.items() if isinstance(v, np.ndarray)})
-    net.variables = net.module.init(jax.random.PRNGKey(0), device_init, train=False)
+    net.init(jax.random.PRNGKey(0), device_init, train=False)
 
     if args.ckpt is not None:
         from train_utils.train_utils import load_checkpoint

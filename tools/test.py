@@ -173,7 +173,7 @@ def main():
     # initialize parameter structure with one example batch (eval path)
     init_batch = test_set.collate_batch([test_set[0]])
     device_init = {k: v for k, v in init_batch.items() if isinstance(v, np.ndarray)}
-    net.variables = net.module.init(jax.random.PRNGKey(0), device_init, train=False)
+    net.init(jax.random.PRNGKey(0), device_init, train=False)
 
     if args.eval_all:
         ckpt_dir = args.ckpt_dir if args.ckpt_dir is not None else output_dir / 'ckpt'

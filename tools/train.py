@@ -106,7 +106,7 @@ def main():
     # initialize parameters with one example batch
     init_batch = train_set.collate_batch([train_set[0]])
     device_init = {k: v for k, v in init_batch.items() if isinstance(v, np.ndarray)}
-    variables = net.module.init(jax.random.PRNGKey(0), device_init, train=True)
+    variables = net.init(jax.random.PRNGKey(0), device_init, train=True)
 
     steps_per_epoch = len(train_loader)
     tx, lr_fn = build_optimizer(

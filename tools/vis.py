@@ -40,7 +40,7 @@ def main():
     init_batch = test_set.collate_batch([test_set[0]])
     device_init = load_data_to_gpu(
         {k: v for k, v in init_batch.items() if isinstance(v, np.ndarray)})
-    net.variables = net.module.init(jax.random.PRNGKey(0), device_init, train=False)
+    net.init(jax.random.PRNGKey(0), device_init, train=False)
     if args.ckpt:
         from train_utils.train_utils import load_checkpoint
         net.load_state_dict(load_checkpoint(args.ckpt)['model_state'])
