@@ -154,20 +154,36 @@ class PillarVFE(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
-        features, point_mask, _ = decorate_pillar_features(
-            batch_dict['voxels'], batch_dict['voxel_num_points'], batch_dict['voxel_coords'],
-            self.voxel_size, self.point_cloud_range,
-            use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
-            with_distance=self.model_cfg.get('WITH_DISTANCE', False))
-
         num_filters = list(self.model_cfg['NUM_FILTERS'])
         use_norm = self.model_cfg.get('USE_NORM', True)
-        for i, out_ch in enumerate(num_filters):
-            features = PFNLayer(out_ch, use_norm, last_layer=(i == len(num_filters) - 1))(
-                features, point_mask, train)
+
+        if 'flat_points' in batch_dict:
+            features, _ = decorate_flat_features(
+                batch_dict, self.voxel_size, self.point_cloud_range,
+                use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
+                with_distance=self.model_cfg.get('WITH_DISTANCE', False))
+            b, v = batch_dict['voxel_num_points'].shape
+            write = batch_dict['flat_write']
+            for i, out_ch in enumerate(num_filters):
+                features = PFNLayer(out_ch, use_norm,
+                                    last_layer=(i == len(num_filters) - 1))(
+                    features, write, train,
+                    flat_slot=batch_dict['flat_slot'], num_slots=b * v)
+            features = features.reshape(b, v, -1)
+        else:
+            features, point_mask, _ = decorate_pillar_features(
+                batch_dict['voxels'], batch_dict['voxel_num_points'],
+                batch_dict['voxel_coords'],
+                self.voxel_size, self.point_cloud_range,
+                use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
+                with_distance=self.model_cfg.get('WITH_DISTANCE', False))
+            for i, out_ch in enumerate(num_filters):
+                features = PFNLayer(out_ch, use_norm,
+                                    last_layer=(i == len(num_filters) - 1))(
+                    features, point_mask, train)
+            batch_dict['pillar_point_mask'] = point_mask
 
         batch_dict['pillar_features'] = features                      # (B, V, C)
-        batch_dict['pillar_point_mask'] = point_mask
         return batch_dict
 
 

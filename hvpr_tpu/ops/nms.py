@@ -41,7 +41,14 @@ def nms_bev_fixed(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=500):
         keep_mask: (post_maxsize,) bool validity of each slot.
     """
     k = min(pre_maxsize, boxes.shape[0])
-    top_scores, order = jax.lax.top_k(scores, k)
+    if boxes.shape[0] > k:
+        # approx_max_k with aggregate_to_topk performs a cheap partial
+        # reduction then an exact sort of the survivors (descending) — the
+        # full lax.top_k sort over all anchors dominates NMS cost otherwise
+        top_scores, order = jax.lax.approx_max_k(
+            scores, k, recall_target=0.99, aggregate_to_topk=True)
+    else:
+        top_scores, order = jax.lax.top_k(scores, k)
     boxes_k = boxes[order]
     valid = top_scores > -jnp.inf
 
