@@ -89,7 +89,7 @@ class MemoryUnitAgg(nn.Module):
         TPU note: softmax is monotonic, so top-k runs on the raw logits; the
         full (B, V, M) sort of lax.top_k dominates inference latency (~250 ms
         per 16-scan batch at M=2000), so the TPU-native partial reduction
-        ``lax.approx_max_k`` is used by default (recall 0.99 per row; the
+        ``lax.approx_max_k`` is used by default (recall 0.9 per row; the
         aggregation re-weights by exact similarity, so a missed tail item has
         negligible effect).
 

@@ -137,7 +137,10 @@ class PointPillarScatterAggMemory1Scale(nn.Module):
             batch_dict['memory_items'] = self.memory.weight
         else:
             mem = self.memory.eval_forward(pillars, k)
-            fused = jnp.concatenate([pillars, mem['output']], axis=-1)
-            batch_dict['spatial_features'] = scatter_to_bev(fused, coords, vmask, ny, nx)
-            batch_dict['spatial_scale_features'] = scatter_to_bev(scale, coords, vmask, ny, nx)
+            # one fused canvas write for [pillar | memory | scale] channels
+            fused = jnp.concatenate([pillars, mem['output'], scale], axis=-1)
+            canvas = scatter_to_bev(fused, coords, vmask, ny, nx)
+            c_main = pillars.shape[-1] + mem['output'].shape[-1]
+            batch_dict['spatial_features'] = canvas[..., :c_main]
+            batch_dict['spatial_scale_features'] = canvas[..., c_main:]
         return batch_dict
