@@ -125,10 +125,14 @@ def _voxelize_batch_core(points, point_mask, point_cloud_range, voxel_size,
     flat_points = points.reshape(-1, c)
     flat_valid = valid.reshape(-1)
 
-    order = jnp.argsort(flat_key, stable=True)
-    skey = flat_key[order]
-    spoints = flat_points[order]
-    svalid = flat_valid[order]
+    # co-sort the point columns with the key (one variadic sort instead of
+    # argsort + wide gathers); stability comes from the iota tiebreaker
+    iota = jnp.arange(flat_key.shape[0], dtype=jnp.int32)
+    operands = jax.lax.sort(
+        (flat_key, iota, flat_valid) + tuple(flat_points[:, i] for i in range(c)),
+        num_keys=2)
+    skey, _, svalid = operands[0], operands[1], operands[2]
+    spoints = jnp.stack(operands[3:], axis=-1)
 
     total = b * n
     head = svalid & jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
