@@ -143,9 +143,10 @@ def make_batch(rng, batch_size=2, with_gt=True):
         batch['voxel_num_points'][b, :nv] = n
         batch['voxel_mask'][b, :nv] = n > 0
     if with_gt:
+        # two NON-overlapping cars (post-NMS recall tests need both to survive)
         gt = np.zeros((batch_size, 3, 8), np.float32)
-        gt[:, 0] = [2.5, 0.0, -1.0, 3.9, 1.6, 1.56, 0.3, 1]
-        gt[:, 1] = [4.0, 1.0, -1.0, 3.9, 1.6, 1.56, -0.5, 1]
+        gt[:, 0] = [2.0, -1.3, -1.0, 3.9, 1.6, 1.56, 0.1, 1]
+        gt[:, 1] = [3.2, 1.3, -1.0, 3.9, 1.6, 1.56, -0.1, 1]
         batch['gt_boxes'] = gt
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
