@@ -49,7 +49,9 @@ class DatasetTemplate:
 
         self.grid_size = self.data_processor.grid_size
         self.voxel_size = self.data_processor.voxel_size
-        self.max_gt_boxes = int(self.dataset_cfg.get('MAX_GT_BOXES', 64))
+        # fixed gt pad (the reference pads to the per-batch max, which would
+        # retrigger XLA compilation; 128 covers KITTI scenes + gt-paste)
+        self.max_gt_boxes = int(self.dataset_cfg.get('MAX_GT_BOXES', 128))
         self.total_epochs = 0
         self._merge_all_iters_to_one_epoch = False
 
