@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ....ops.memory_lookup import memory_lookup_fused
+
 
 def hard_shrink_relu(x, lambd=0.0, epsilon=1e-12):
     """relu(x - lambd) * x / (|x - lambd| + eps) — zero below the threshold."""
@@ -88,27 +90,39 @@ class MemoryUnitAgg(nn.Module):
         output = self._aggregate(recon, pillars)
         return {'output': output}
 
-    def eval_forward(self, pillars, k, exact_topk: bool = False):
+    def eval_forward(self, pillars, k, mode: str = 'fused'):
         """Inference: pillars address the memory; top-k rows are aggregated.
 
-        TPU note: softmax is monotonic, so top-k runs on the raw logits; the
-        full (B, V, M) sort of lax.top_k dominates inference latency (~250 ms
-        per 16-scan batch at M=2000), so the TPU-native partial reduction
-        ``lax.approx_max_k`` is used by default (recall 0.9 per row; the
-        aggregation re-weights by exact similarity, so a missed tail item has
-        negligible effect).
+        TPU note: softmax is monotonic, so top-k runs on the raw logits.
+        Three lowering modes (MODEL.MAP_TO_BEV.TOPK_MODE):
+
+        - ``'fused'`` (default): single Pallas kernel — logits, a top-k
+          superset threshold, and the softmax-weighted reconstruction all in
+          VMEM; never materializes the (B, V, M) logits in HBM
+          (ops/memory_lookup.py; A/B-vs-exact tested).
+        - ``'exact'``: lax.top_k over the full logits (~250 ms per 16-scan
+          batch at M=2000) — the accuracy oracle.
+        - ``'approx'``: lax.approx_max_k at recall 0.9 on the 2D flatten
+          (11-25 ms) — round-1 default, kept for A/B comparison.
 
         Args:
-            pillars: (B, V, C); k: static int.
+            pillars: (B, V, C); k: static int; mode: see above.
         Returns:
-            dict(output=(B, V, C), att=(B, V, M) addressing logits).
+            dict(output=(B, V, C)); plus att=(B, V, M) addressing logits for
+            the exact/approx modes (unused downstream in eval — DCE'd).
         """
+        if mode == 'fused':
+            b, v, c = pillars.shape
+            out = memory_lookup_fused(pillars.reshape(b * v, c), self.weight, k)
+            return {'output': out.reshape(b, v, c).astype(pillars.dtype)}
+
         logits = jnp.einsum('bvc,mc->bvm', pillars, self.weight)
         logits = jax.lax.stop_gradient(logits)
         b, v, m = logits.shape
-        if exact_topk:
+        if mode == 'exact':
             vals, idx = jax.lax.top_k(logits, k)                          # (B, V, k)
         else:
+            assert mode == 'approx', mode
             # flatten to 2D: approx_max_k lowers ~7x faster on (B*V, M) than
             # on the 3D view (measured 25 ms vs 170 ms at B*V=256k, M=2000)
             vals, idx = jax.lax.approx_max_k(

@@ -104,6 +104,14 @@ class PointPillarScatterAggMemory1Scale(nn.Module):
             mem_dim=int(self.model_cfg['NUM_M']),
             fea_dim=int(self.model_cfg['NUM_PT_FEATURES']),
             shrink_thres=float(self.model_cfg['SHRINK_TH']))
+        # eval top-k lowering: 'fused' Pallas kernel (default) / 'approx'
+        # (lax.approx_max_k, recall 0.9) / 'exact' (lax.top_k oracle);
+        # EXACT_TOPK: True is an alias for 'exact'.
+        mode = str(self.model_cfg.get('TOPK_MODE', 'fused')).lower()
+        if self.model_cfg.get('EXACT_TOPK', False):
+            mode = 'exact'
+        assert mode in ('fused', 'approx', 'exact'), mode
+        self.topk_mode = mode
 
     def __call__(self, batch_dict, train: bool = False):
         nx, ny, nz = (int(g) for g in self.grid_size)
@@ -136,7 +144,7 @@ class PointPillarScatterAggMemory1Scale(nn.Module):
             batch_dict['memory_positive_features'] = mem_agg
             batch_dict['memory_items'] = self.memory.weight
         else:
-            mem = self.memory.eval_forward(pillars, k)
+            mem = self.memory.eval_forward(pillars, k, mode=self.topk_mode)
             # one fused canvas write for [pillar | memory | scale] channels
             fused = jnp.concatenate([pillars, mem['output'], scale], axis=-1)
             canvas = scatter_to_bev(fused, coords, vmask, ny, nx)
