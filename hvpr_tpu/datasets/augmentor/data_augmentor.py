@@ -1,17 +1,70 @@
-"""Config-driven augmentation queue (host-side).
+"""Config-driven augmentation pipeline (host-side).
 
-Parity target: /root/reference/pcdet/datasets/augmentor/data_augmentor.py
-(queue:19-24, gt_sampling + world flip/rotation/scaling:43-79, heading
-normalization to [-pi, pi) and key cleanup at the end:95-106).
+Covers the reference's augmentor queue
+(/root/reference/pcdet/datasets/augmentor/data_augmentor.py) with a
+different architecture: augmentations are built from a module-level
+registry of builder functions (not getattr-on-self), and consecutive
+world-level augmentations (flip / rotation / scaling) are fused — each step
+samples its parameters into a 3x3 linear map and the composed map is applied
+to the scene ONCE (see :mod:`.augmentor_utils`). gt-paste sampling remains a
+dict-level step. The pipeline ends, like the upstream queue, by normalizing
+headings to [-pi, pi) and dropping host-only keys.
 """
-
-from functools import partial
 
 import numpy as np
 
 from ...utils import common_utils
 from . import augmentor_utils
 from .database_sampler import DataBaseSampler
+
+# name -> builder(pipeline, cfg) returning either
+#   ('world', sampler)   sampler() -> 3x3 linear, fused with neighbors
+#   ('dict', fn)         fn(data_dict) -> data_dict
+_BUILDERS = {}
+
+
+def _register(name):
+    def deco(fn):
+        _BUILDERS[name] = fn
+        return fn
+    return deco
+
+
+@_register('gt_sampling')
+def _build_gt_sampling(pipeline, cfg):
+    sampler = DataBaseSampler(
+        root_path=pipeline.root_path, sampler_cfg=cfg,
+        class_names=pipeline.class_names, logger=pipeline.logger)
+    return 'dict', sampler
+
+
+@_register('random_world_flip')
+def _build_flip(pipeline, cfg):
+    axes = list(cfg['ALONG_AXIS_LIST'])
+    assert all(a in ('x', 'y') for a in axes), axes
+
+    def sample():
+        return augmentor_utils.compose(
+            *[augmentor_utils.sample_flip(a) for a in reversed(axes)])
+    return 'world', sample
+
+
+@_register('random_world_rotation')
+def _build_rotation(pipeline, cfg):
+    rot = cfg['WORLD_ROT_ANGLE']
+    if not isinstance(rot, (list, tuple, np.ndarray)):
+        rot = [-rot, rot]
+
+    def sample():
+        return augmentor_utils.sample_rotation(rot)
+    return 'world', sample
+
+
+@_register('random_world_scaling')
+def _build_scaling(pipeline, cfg):
+    def sample():
+        return augmentor_utils.sample_scaling(cfg['WORLD_SCALE_RANGE'])
+    return 'world', sample
 
 
 class DataAugmentor:
@@ -20,16 +73,15 @@ class DataAugmentor:
         self.class_names = class_names
         self.logger = logger
 
-        self.data_augmentor_queue = []
-        aug_config_list = augmentor_configs if isinstance(augmentor_configs, list) \
-            else augmentor_configs['AUG_CONFIG_LIST']
-
-        for cur_cfg in aug_config_list:
-            if not isinstance(augmentor_configs, list):
-                if cur_cfg['NAME'] in augmentor_configs['DISABLE_AUG_LIST']:
-                    continue
-            cur_augmentor = getattr(self, cur_cfg['NAME'])(config=cur_cfg)
-            self.data_augmentor_queue.append(cur_augmentor)
+        if isinstance(augmentor_configs, list):
+            cfg_list, disabled = augmentor_configs, ()
+        else:
+            cfg_list = augmentor_configs['AUG_CONFIG_LIST']
+            disabled = augmentor_configs['DISABLE_AUG_LIST']
+        self.steps = [
+            _BUILDERS[cfg['NAME']](self, cfg)
+            for cfg in cfg_list if cfg['NAME'] not in disabled
+        ]
 
     def __getstate__(self):
         d = dict(self.__dict__)
@@ -40,57 +92,35 @@ class DataAugmentor:
         self.__dict__.update(d)
         self.logger = None
 
-    def gt_sampling(self, config=None):
-        return DataBaseSampler(
-            root_path=self.root_path, sampler_cfg=config,
-            class_names=self.class_names, logger=self.logger)
-
-    def random_world_flip(self, data_dict=None, config=None):
-        if data_dict is None:
-            return partial(self.random_world_flip, config=config)
-        gt_boxes, points = data_dict['gt_boxes'], data_dict['points']
-        for cur_axis in config['ALONG_AXIS_LIST']:
-            assert cur_axis in ['x', 'y']
-            gt_boxes, points = getattr(augmentor_utils,
-                                       f'random_flip_along_{cur_axis}')(gt_boxes, points)
-        data_dict['gt_boxes'] = gt_boxes
-        data_dict['points'] = points
-        return data_dict
-
-    def random_world_rotation(self, data_dict=None, config=None):
-        if data_dict is None:
-            return partial(self.random_world_rotation, config=config)
-        rot_range = config['WORLD_ROT_ANGLE']
-        if not isinstance(rot_range, (list, tuple, np.ndarray)):
-            rot_range = [-rot_range, rot_range]
-        gt_boxes, points = augmentor_utils.global_rotation(
-            data_dict['gt_boxes'], data_dict['points'], rot_range=rot_range)
-        data_dict['gt_boxes'] = gt_boxes
-        data_dict['points'] = points
-        return data_dict
-
-    def random_world_scaling(self, data_dict=None, config=None):
-        if data_dict is None:
-            return partial(self.random_world_scaling, config=config)
-        gt_boxes, points = augmentor_utils.global_scaling(
-            data_dict['gt_boxes'], data_dict['points'],
-            config['WORLD_SCALE_RANGE'])
-        data_dict['gt_boxes'] = gt_boxes
-        data_dict['points'] = points
-        return data_dict
-
     def forward(self, data_dict):
-        for cur_augmentor in self.data_augmentor_queue:
-            data_dict = cur_augmentor(data_dict=data_dict) \
-                if not isinstance(cur_augmentor, DataBaseSampler) \
-                else cur_augmentor(data_dict)
+        world = None  # pending composed linear map
+        for kind, step in self.steps:
+            if kind == 'world':
+                lin = step()
+                world = lin if world is None else augmentor_utils.compose(
+                    lin, world)
+            else:
+                data_dict = self._flush_world(world, data_dict)
+                world = None
+                data_dict = step(data_dict)
+        data_dict = self._flush_world(world, data_dict)
 
         data_dict['gt_boxes'][:, 6] = common_utils.limit_period(
             data_dict['gt_boxes'][:, 6], offset=0.5, period=2 * np.pi)
         data_dict.pop('calib', None)
         data_dict.pop('road_plane', None)
         if 'gt_boxes_mask' in data_dict:
-            gt_boxes_mask = data_dict.pop('gt_boxes_mask')
-            data_dict['gt_boxes'] = data_dict['gt_boxes'][gt_boxes_mask]
-            data_dict['gt_names'] = data_dict['gt_names'][gt_boxes_mask]
+            mask = data_dict.pop('gt_boxes_mask')
+            data_dict['gt_boxes'] = data_dict['gt_boxes'][mask]
+            data_dict['gt_names'] = data_dict['gt_names'][mask]
+        return data_dict
+
+    @staticmethod
+    def _flush_world(world, data_dict):
+        if world is None:
+            return data_dict
+        boxes, points = augmentor_utils.transform_scene(
+            world, data_dict['gt_boxes'], data_dict['points'])
+        data_dict['gt_boxes'] = boxes
+        data_dict['points'] = points
         return data_dict

@@ -1,11 +1,13 @@
-"""GT-database (gt-paste / "MoCa") sampling augmentation (host-side).
+"""GT-database paste augmentation with a column-oriented sample store.
 
-Parity target: /root/reference/pcdet/datasets/augmentor/database_sampler.py
-(db filtering by difficulty/min-points:50-77, per-class round-robin sampling
-with shuffled epochs:79-96, road-plane height snap:98-116, BEV-IoU collision
-rejection vs scene & other samples:184-190, scene-point carve-out + object
-crop concatenation:118-157). The C++ ``boxes_bev_iou_cpu`` dependency is the
-in-tree native geometry lib.
+Covers the reference's gt-sampling augmentor
+(/root/reference/pcdet/datasets/augmentor/database_sampler.py) with a
+different design: each class's database is held as parallel numpy columns
+(boxes, point counts, difficulty, crop paths) so the PREPARE filters and the
+BEV-collision rejection are single vectorized mask operations instead of
+per-info list comprehensions. Sampling is an epoch-shuffled cursor into a
+permutation. The same collision rule applies: a candidate is kept only if
+its BEV IoU with every scene box and every other kept candidate is zero.
 """
 
 import pickle
@@ -17,40 +19,64 @@ from ...ops.rotated_iou import boxes_bev_iou_cpu
 from ...utils import box_utils
 
 
+class _ClassDb:
+    """One class's gt-database as parallel columns + a sampling cursor."""
+
+    def __init__(self, infos):
+        self.infos = list(infos)
+        n = len(self.infos)
+        self.boxes = np.array(
+            [i['box3d_lidar'] for i in self.infos], dtype=np.float32
+        ).reshape(n, -1)
+        self.num_points = np.array(
+            [i['num_points_in_gt'] for i in self.infos], dtype=np.int64)
+        self.difficulty = np.array(
+            [i['difficulty'] for i in self.infos], dtype=np.int64)
+        self._order = np.arange(n)
+        self._cursor = n  # forces a shuffle on first draw
+
+    def __len__(self):
+        return len(self.infos)
+
+    def keep(self, mask):
+        """Vectorized filter; resets the sampling cursor."""
+        idx = np.flatnonzero(mask)
+        return _ClassDb([self.infos[i] for i in idx])
+
+    def draw(self, count):
+        """Next ``count`` row indices, reshuffling at epoch boundaries."""
+        if self._cursor >= len(self.infos):
+            self._order = np.random.permutation(len(self.infos))
+            self._cursor = 0
+        picked = self._order[self._cursor:self._cursor + count]
+        self._cursor += count
+        return picked
+
+
 class DataBaseSampler:
     def __init__(self, root_path, sampler_cfg, class_names, logger=None):
         self.root_path = Path(root_path)
-        self.class_names = class_names
         self.sampler_cfg = sampler_cfg
+        self.class_names = class_names
         self.logger = logger
-        self.db_infos = {}
-        for class_name in class_names:
-            self.db_infos[class_name] = []
 
-        for db_info_path in sampler_cfg['DB_INFO_PATH']:
-            db_info_path = self.root_path.resolve() / db_info_path
-            with open(str(db_info_path), 'rb') as f:
-                infos = pickle.load(f)
-                for cur_class in class_names:
-                    if cur_class in infos:
-                        self.db_infos[cur_class].extend(infos[cur_class])
+        raw = {name: [] for name in class_names}
+        for rel in sampler_cfg['DB_INFO_PATH']:
+            with open(str(self.root_path.resolve() / rel), 'rb') as f:
+                per_class = pickle.load(f)
+            for name in class_names:
+                raw[name].extend(per_class.get(name, []))
+        self.db = {name: _ClassDb(infos) for name, infos in raw.items()}
 
-        for func_name, val in sampler_cfg.get('PREPARE', {}).items():
-            self.db_infos = getattr(self, func_name)(self.db_infos, val)
+        for filter_name, arg in sampler_cfg.get('PREPARE', {}).items():
+            getattr(self, filter_name)(arg)
 
-        self.sample_groups = {}
-        self.sample_class_num = {}
         self.limit_whole_scene = sampler_cfg.get('LIMIT_WHOLE_SCENE', False)
-        for x in sampler_cfg['SAMPLE_GROUPS']:
-            class_name, sample_num = x.split(':')
-            if class_name not in class_names:
-                continue
-            self.sample_class_num[class_name] = sample_num
-            self.sample_groups[class_name] = {
-                'sample_num': sample_num,
-                'pointer': len(self.db_infos[class_name]),
-                'indices': np.arange(len(self.db_infos[class_name])),
-            }
+        self.quota = {}
+        for spec in sampler_cfg['SAMPLE_GROUPS']:
+            name, count = spec.split(':')
+            if name in class_names:
+                self.quota[name] = int(count)
 
     def __getstate__(self):
         d = dict(self.__dict__)
@@ -61,130 +87,128 @@ class DataBaseSampler:
         self.__dict__.update(d)
         self.logger = None
 
-    def filter_by_difficulty(self, db_infos, removed_difficulty):
-        new_db_infos = {}
-        for key, dinfos in db_infos.items():
-            pre_len = len(dinfos)
-            new_db_infos[key] = [info for info in dinfos
-                                 if info['difficulty'] not in removed_difficulty]
-            if self.logger is not None:
-                self.logger.info('Database filter by difficulty %s: %d => %d',
-                                 key, pre_len, len(new_db_infos[key]))
-        return new_db_infos
+    # -- PREPARE filters (names are config keys) ----------------------------
+    def filter_by_difficulty(self, removed_difficulty):
+        removed = np.asarray(removed_difficulty)
+        for name, db in self.db.items():
+            kept = db.keep(~np.isin(db.difficulty, removed))
+            self._log_filter('difficulty', name, len(db), len(kept))
+            self.db[name] = kept
 
-    def filter_by_min_points(self, db_infos, min_gt_points_list):
-        for name_num in min_gt_points_list:
-            name, min_num = name_num.split(':')
-            min_num = int(min_num)
-            if min_num > 0 and name in db_infos:
-                filtered = [info for info in db_infos[name]
-                            if info['num_points_in_gt'] >= min_num]
-                if self.logger is not None:
-                    self.logger.info('Database filter by min points %s: %d => %d',
-                                     name, len(db_infos[name]), len(filtered))
-                db_infos[name] = filtered
-        return db_infos
+    def filter_by_min_points(self, min_points_specs):
+        for spec in min_points_specs:
+            name, min_num = spec.split(':')
+            if int(min_num) <= 0 or name not in self.db:
+                continue
+            db = self.db[name]
+            kept = db.keep(db.num_points >= int(min_num))
+            self._log_filter('min points', name, len(db), len(kept))
+            self.db[name] = kept
 
-    def sample_with_fixed_number(self, class_name, sample_group):
-        """Round-robin sampling with reshuffle at epoch boundaries."""
-        sample_num = int(sample_group['sample_num'])
-        pointer, indices = sample_group['pointer'], sample_group['indices']
-        if pointer >= len(self.db_infos[class_name]):
-            indices = np.random.permutation(len(self.db_infos[class_name]))
-            pointer = 0
-        sampled = [self.db_infos[class_name][idx]
-                   for idx in indices[pointer:pointer + sample_num]]
-        sample_group['pointer'] = pointer + sample_num
-        sample_group['indices'] = indices
-        return sampled
+    def _log_filter(self, what, name, before, after):
+        if self.logger is not None:
+            self.logger.info('Database filter by %s %s: %d => %d',
+                             what, name, before, after)
+
+    # -- scene assembly ------------------------------------------------------
+    def __call__(self, data_dict):
+        scene_boxes = data_dict['gt_boxes']
+        scene_names = data_dict['gt_names'].astype(str)
+
+        blockers = scene_boxes[:, :7].astype(np.float32)
+        chosen_infos, chosen_boxes = [], []
+        for name, quota in self.quota.items():
+            want = quota - int((scene_names == name).sum()) \
+                if self.limit_whole_scene else quota
+            if want <= 0:
+                continue
+            db = self.db[name]
+            idx = db.draw(want)
+            cand = db.boxes[idx, :7]
+            if self.sampler_cfg.get('DATABASE_WITH_FAKELIDAR', False):
+                cand = box_utils.boxes3d_kitti_fakelidar_to_lidar(cand)
+
+            ok = self._collision_free(cand, blockers)
+            chosen_infos.extend(db.infos[i] for i in idx[ok])
+            chosen_boxes.append(cand[ok])
+            blockers = np.concatenate([blockers, cand[ok]], axis=0)
+
+        if chosen_infos:
+            pasted = np.concatenate(chosen_boxes, axis=0)
+            data_dict = self._paste(data_dict, pasted, chosen_infos)
+        data_dict.pop('gt_boxes_mask')
+        return data_dict
 
     @staticmethod
-    def put_boxes_on_road_plane(gt_boxes, road_planes, calib):
-        """Snap sampled boxes down to the annotated road plane."""
-        a, b, c, d = road_planes
-        center_cam = calib.lidar_to_rect(gt_boxes[:, 0:3])
-        cur_height_cam = (-d - a * center_cam[:, 0] - c * center_cam[:, 2]) / b
-        center_cam[:, 1] = cur_height_cam
-        cur_lidar_height = calib.rect_to_lidar(center_cam)[:, 2]
-        mv_height = gt_boxes[:, 2] - gt_boxes[:, 5] / 2 - cur_lidar_height
-        gt_boxes[:, 2] -= mv_height
-        return gt_boxes, mv_height
+    def _collision_free(cand, blockers):
+        """Mask of candidates with zero BEV IoU vs blockers AND each other."""
+        vs_scene = boxes_bev_iou_cpu(cand, blockers)
+        vs_self = boxes_bev_iou_cpu(cand, cand)
+        np.fill_diagonal(vs_self, 0.0)
+        worst = vs_self.max(axis=1)
+        if vs_scene.shape[1] > 0:
+            worst = worst + vs_scene.max(axis=1)
+        return worst == 0
 
-    def add_sampled_boxes_to_scene(self, data_dict, sampled_gt_boxes,
-                                   total_valid_sampled_dict):
-        gt_boxes_mask = data_dict['gt_boxes_mask']
-        gt_boxes = data_dict['gt_boxes'][gt_boxes_mask]
-        gt_names = data_dict['gt_names'][gt_boxes_mask]
-        points = data_dict['points']
+    def _snap_to_road_plane(self, boxes, plane, calib):
+        """Drop each pasted box so its bottom sits on the annotated plane.
 
-        if self.sampler_cfg.get('USE_ROAD_PLANE', False) and 'road_plane' in data_dict:
-            sampled_gt_boxes, mv_height = self.put_boxes_on_road_plane(
-                sampled_gt_boxes, data_dict['road_plane'], data_dict['calib'])
+        Returns the snapped boxes and the per-box height shift to apply to
+        the crops' points.
+        """
+        a, b, c, d = plane
+        centers_cam = calib.lidar_to_rect(boxes[:, :3])
+        centers_cam[:, 1] = (-d - a * centers_cam[:, 0]
+                             - c * centers_cam[:, 2]) / b
+        road_z = calib.rect_to_lidar(centers_cam)[:, 2]
+        shift = boxes[:, 2] - boxes[:, 5] / 2 - road_z
+        boxes = boxes.copy()
+        boxes[:, 2] -= shift
+        return boxes, shift
+
+    def _paste(self, data_dict, pasted_boxes, chosen_infos):
+        mask = data_dict['gt_boxes_mask']
+        gt_boxes = data_dict['gt_boxes'][mask]
+        gt_names = data_dict['gt_names'][mask]
+
+        if self.sampler_cfg.get('USE_ROAD_PLANE', False) \
+                and 'road_plane' in data_dict:
+            pasted_boxes, z_shift = self._snap_to_road_plane(
+                pasted_boxes, data_dict['road_plane'], data_dict['calib'])
             data_dict.pop('calib', None)
             data_dict.pop('road_plane', None)
         else:
-            mv_height = np.zeros(sampled_gt_boxes.shape[0])
+            z_shift = np.zeros(pasted_boxes.shape[0], dtype=np.float32)
 
-        obj_points_list = []
-        for idx, info in enumerate(total_valid_sampled_dict):
-            file_path = self.root_path / info['path']
-            obj_points = np.fromfile(str(file_path), dtype=np.float32).reshape(
-                [-1, self.sampler_cfg['NUM_POINT_FEATURES']])
-            obj_points[:, :3] += info['box3d_lidar'][:3]
-            obj_points[:, 2] -= mv_height[idx]
-            obj_points_list.append(obj_points)
+        n_feat = self.sampler_cfg['NUM_POINT_FEATURES']
+        crops = [
+            np.fromfile(str(self.root_path / info['path']),
+                        dtype=np.float32).reshape(-1, n_feat)
+            for info in chosen_infos
+        ]
+        sizes = np.array([c.shape[0] for c in crops])
+        obj_points = np.concatenate(crops, axis=0) if crops else \
+            np.zeros((0, n_feat), dtype=np.float32)
+        # crops are stored centered on their database box: offset back to the
+        # database pose, then apply the road-plane drop (vectorized over all
+        # crops at once).
+        db_centers = np.array(
+            [i['box3d_lidar'][:3] for i in chosen_infos], dtype=np.float32
+        ).reshape(-1, 3)
+        offsets = np.repeat(db_centers, sizes, axis=0)
+        offsets[:, 2] -= np.repeat(z_shift, sizes)
+        obj_points[:, :3] += offsets.astype(np.float32)
 
-        obj_points = np.concatenate(obj_points_list, axis=0) \
-            if obj_points_list else np.zeros((0, points.shape[1]), dtype=points.dtype)
-        sampled_gt_names = np.array([x['name'] for x in total_valid_sampled_dict])
-
-        large_sampled_gt_boxes = box_utils.enlarge_box3d(
-            sampled_gt_boxes[:, 0:7],
+        carve = box_utils.enlarge_box3d(
+            pasted_boxes[:, :7],
             extra_width=self.sampler_cfg.get('REMOVE_EXTRA_WIDTH', [0, 0, 0]))
-        points = box_utils.remove_points_in_boxes3d(points, large_sampled_gt_boxes)
-        points = np.concatenate([obj_points, points], axis=0)
-        gt_names = np.concatenate([gt_names, sampled_gt_names], axis=0)
-        gt_boxes = np.concatenate([gt_boxes, sampled_gt_boxes[:, :gt_boxes.shape[1]]], axis=0)
-        data_dict['gt_boxes'] = gt_boxes
-        data_dict['gt_names'] = gt_names
-        data_dict['points'] = points
-        return data_dict
+        scene_points = box_utils.remove_points_in_boxes3d(
+            data_dict['points'], carve)
 
-    def __call__(self, data_dict):
-        gt_boxes = data_dict['gt_boxes']
-        gt_names = data_dict['gt_names'].astype(str)
-        existed_boxes = gt_boxes
-        total_valid_sampled_dict = []
-
-        for class_name, sample_group in self.sample_groups.items():
-            if self.limit_whole_scene:
-                num_gt = np.sum(class_name == gt_names)
-                sample_group['sample_num'] = str(
-                    int(self.sample_class_num[class_name]) - num_gt)
-            if int(sample_group['sample_num']) <= 0:
-                continue
-
-            sampled_dict = self.sample_with_fixed_number(class_name, sample_group)
-            sampled_boxes = np.stack(
-                [x['box3d_lidar'] for x in sampled_dict], axis=0).astype(np.float32)
-
-            if self.sampler_cfg.get('DATABASE_WITH_FAKELIDAR', False):
-                sampled_boxes = box_utils.boxes3d_kitti_fakelidar_to_lidar(sampled_boxes)
-
-            iou1 = boxes_bev_iou_cpu(sampled_boxes[:, 0:7], existed_boxes[:, 0:7])
-            iou2 = boxes_bev_iou_cpu(sampled_boxes[:, 0:7], sampled_boxes[:, 0:7])
-            iou2[range(sampled_boxes.shape[0]), range(sampled_boxes.shape[0])] = 0
-            iou1 = iou1 if iou1.shape[1] > 0 else iou2
-            valid_mask = ((iou1.max(axis=1) + iou2.max(axis=1)) == 0).nonzero()[0]
-            valid_sampled_dict = [sampled_dict[x] for x in valid_mask]
-            valid_sampled_boxes = sampled_boxes[valid_mask]
-
-            existed_boxes = np.concatenate((existed_boxes, valid_sampled_boxes), axis=0)
-            total_valid_sampled_dict.extend(valid_sampled_dict)
-
-        sampled_gt_boxes = existed_boxes[gt_boxes.shape[0]:, :]
-        if total_valid_sampled_dict:
-            data_dict = self.add_sampled_boxes_to_scene(
-                data_dict, sampled_gt_boxes, total_valid_sampled_dict)
-        data_dict.pop('gt_boxes_mask')
+        data_dict['points'] = np.concatenate(
+            [obj_points, scene_points], axis=0)
+        data_dict['gt_names'] = np.concatenate(
+            [gt_names, np.array([i['name'] for i in chosen_infos])])
+        data_dict['gt_boxes'] = np.concatenate(
+            [gt_boxes, pasted_boxes[:, :gt_boxes.shape[1]]], axis=0)
         return data_dict

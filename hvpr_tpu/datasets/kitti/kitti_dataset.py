@@ -1,24 +1,27 @@
-"""KITTI dataset: info pickles, raw IO, training samples, prediction export.
+"""KITTI training/eval dataset and prediction export.
 
-Parity target: /root/reference/pcdet/datasets/kitti/kitti_dataset.py
-(info-pkl loading:34-50, raw IO get_lidar/get_image_shape/get_label/get_calib/
-get_road_plane:62-98, camera-FOV point filter:100-117,353-356, __getitem__
-lidar + lidar-frame gt boxes:340-383, threaded offline get_infos:119-191,
-create_groundtruth_database:193-243, generate_prediction_dicts lidar->camera->
-image conversion + KITTI txt writer:245-320, evaluation -> official AP:322-332,
-create_kitti_infos CLI:386-423). Pickle schemas match the reference so
-existing kitti_infos_*.pkl / gt_database artifacts are interchangeable.
+Covers the dataset-facing half of the reference's KITTI module
+(/root/reference/pcdet/datasets/kitti/kitti_dataset.py:12-60, 245-439):
+info-pickle loading, ``__getitem__``, lidar->camera prediction export, and
+official-AP evaluation. Raw-file IO and the offline info / gt-database
+builders live in :mod:`.kitti_io`; this class only consumes their artifacts.
+Prediction export is vectorized per sample (one batched frame transform per
+scan instead of per-field loops). Pickle schemas are interchangeable with
+the reference's ``kitti_infos_*.pkl`` / ``kitti_dbinfos_*.pkl``.
 """
 
-import concurrent.futures as futures
 import pickle
 from pathlib import Path
 
 import numpy as np
 
-from ...ops.points_in_boxes import points_in_boxes_cpu
-from ...utils import box_utils, calibration_kitti, common_utils, object3d_kitti
+from ...utils import box_utils, common_utils
 from ..dataset import DatasetTemplate
+from . import kitti_io
+
+# KITTI detection txt row: name, trunc, occ, alpha, bbox x4, h w l, xyz, ry, score
+_KITTI_ROW = ('%s -1 -1 %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f '
+              '%.4f %.4f %.4f %.4f %.4f')
 
 
 class KittiDataset(DatasetTemplate):
@@ -26,386 +29,197 @@ class KittiDataset(DatasetTemplate):
                  logger=None):
         super().__init__(dataset_cfg=dataset_cfg, class_names=class_names,
                          training=training, root_path=root_path, logger=logger)
-        self.split = self.dataset_cfg['DATA_SPLIT'][self.mode]
-        self.root_split_path = self.root_path / (
-            'training' if self.split != 'test' else 'testing')
-
-        split_dir = self.root_path / 'ImageSets' / (self.split + '.txt')
-        self.sample_id_list = [x.strip() for x in open(split_dir).readlines()] \
-            if split_dir.exists() else None
-
         self.kitti_infos = []
-        self.include_kitti_data(self.mode)
-
-    def include_kitti_data(self, mode):
-        if self.logger is not None:
-            self.logger.info('Loading KITTI dataset')
-        kitti_infos = []
-        for info_path in self.dataset_cfg['INFO_PATH'][mode]:
-            info_path = self.root_path / info_path
-            if not info_path.exists():
-                continue
-            with open(info_path, 'rb') as f:
-                kitti_infos.extend(pickle.load(f))
-        self.kitti_infos.extend(kitti_infos)
-        if self.logger is not None:
-            self.logger.info('Total samples for KITTI dataset: %d', len(kitti_infos))
+        self.set_split(self.dataset_cfg['DATA_SPLIT'][self.mode])
+        self._load_infos(self.dataset_cfg['INFO_PATH'][self.mode])
 
     def set_split(self, split):
-        super().__init__(dataset_cfg=self.dataset_cfg, class_names=self.class_names,
-                         training=self.training, root_path=self.root_path,
-                         logger=self.logger)
+        """Point the raw-IO handle at a split; infos are loaded separately."""
         self.split = split
-        self.root_split_path = self.root_path / (
-            'training' if self.split != 'test' else 'testing')
-        split_dir = self.root_path / 'ImageSets' / (self.split + '.txt')
-        self.sample_id_list = [x.strip() for x in open(split_dir).readlines()] \
-            if split_dir.exists() else None
+        self.io = kitti_io.KittiSplitIO(self.root_path, split)
+        self.sample_id_list = self.io.frame_ids
 
-    # ------------------------------------------------------------------ raw IO
+    def _load_infos(self, info_files):
+        if self.logger is not None:
+            self.logger.info('Loading KITTI dataset')
+        count = 0
+        for name in info_files:
+            path = self.root_path / name
+            if not path.exists():
+                continue
+            with open(path, 'rb') as f:
+                loaded = pickle.load(f)
+            self.kitti_infos.extend(loaded)
+            count += len(loaded)
+        if self.logger is not None:
+            self.logger.info('Total samples for KITTI dataset: %d', count)
 
+    # -- raw-IO passthroughs (reference public API surface) ----------------
     def get_lidar(self, idx):
-        lidar_file = self.root_split_path / 'velodyne' / f'{idx}.bin'
-        assert lidar_file.exists(), lidar_file
-        return np.fromfile(str(lidar_file), dtype=np.float32).reshape(-1, 4)
-
-    def get_image_shape(self, idx):
-        img_file = self.root_split_path / 'image_2' / f'{idx}.png'
-        assert img_file.exists(), img_file
-        from PIL import Image
-        with Image.open(img_file) as im:
-            w, h = im.size
-        return np.array([h, w], dtype=np.int32)
-
-    def get_label(self, idx):
-        label_file = self.root_split_path / 'label_2' / f'{idx}.txt'
-        assert label_file.exists(), label_file
-        return object3d_kitti.get_objects_from_label(label_file)
+        return self.io.lidar(idx)
 
     def get_calib(self, idx):
-        calib_file = self.root_split_path / 'calib' / f'{idx}.txt'
-        assert calib_file.exists(), calib_file
-        return calibration_kitti.Calibration(calib_file)
+        return self.io.calib(idx)
 
     def get_road_plane(self, idx):
-        plane_file = self.root_split_path / 'planes' / f'{idx}.txt'
-        if not plane_file.exists():
-            return None
-        with open(plane_file, 'r') as f:
-            lines = f.readlines()
-        lines = [float(i) for i in lines[3].split()]
-        plane = np.asarray(lines)
-        if plane[1] > 0:
-            plane = -plane
-        norm = np.linalg.norm(plane[0:3])
-        return plane / norm
-
-    @staticmethod
-    def get_fov_flag(pts_rect, img_shape, calib):
-        """Mask of points projecting inside the camera image."""
-        pts_img, pts_rect_depth = calib.rect_to_img(pts_rect)
-        val_flag_1 = np.logical_and(pts_img[:, 0] >= 0, pts_img[:, 0] < img_shape[1])
-        val_flag_2 = np.logical_and(pts_img[:, 1] >= 0, pts_img[:, 1] < img_shape[0])
-        val_flag_merge = np.logical_and(val_flag_1, val_flag_2)
-        return np.logical_and(val_flag_merge, pts_rect_depth >= 0)
-
-    # ----------------------------------------------------------------- offline
+        return self.io.road_plane(idx)
 
     def get_infos(self, num_workers=4, has_label=True, count_inside_pts=True,
                   sample_id_list=None):
-        def process_single_scene(sample_idx):
-            info = {}
-            pc_info = {'num_features': 4, 'lidar_idx': sample_idx}
-            info['point_cloud'] = pc_info
-
-            image_info = {'image_idx': sample_idx,
-                          'image_shape': self.get_image_shape(sample_idx)}
-            info['image'] = image_info
-            calib = self.get_calib(sample_idx)
-            P2 = np.concatenate([calib.P2, np.array([[0., 0., 0., 1.]])], axis=0)
-            R0_4x4 = np.zeros([4, 4], dtype=calib.R0.dtype)
-            R0_4x4[3, 3] = 1.
-            R0_4x4[:3, :3] = calib.R0
-            V2C_4x4 = np.concatenate(
-                [calib.V2C, np.array([[0., 0., 0., 1.]])], axis=0)
-            info['calib'] = {'P2': P2, 'R0_rect': R0_4x4, 'Tr_velo_to_cam': V2C_4x4}
-
-            if has_label:
-                obj_list = self.get_label(sample_idx)
-                annotations = {
-                    'name': np.array([obj.cls_type for obj in obj_list]),
-                    'truncated': np.array([obj.truncation for obj in obj_list]),
-                    'occluded': np.array([obj.occlusion for obj in obj_list]),
-                    'alpha': np.array([obj.alpha for obj in obj_list]),
-                    'bbox': np.concatenate(
-                        [obj.box2d.reshape(1, 4) for obj in obj_list], axis=0)
-                        if obj_list else np.zeros((0, 4)),
-                    'dimensions': np.array(
-                        [[obj.l, obj.h, obj.w] for obj in obj_list]).reshape(-1, 3),
-                    'location': np.concatenate(
-                        [obj.loc.reshape(1, 3) for obj in obj_list], axis=0)
-                        if obj_list else np.zeros((0, 3)),
-                    'rotation_y': np.array([obj.ry for obj in obj_list]),
-                    'score': np.array([obj.score for obj in obj_list]),
-                    'difficulty': np.array([obj.level for obj in obj_list], np.int32),
-                }
-                num_objects = len([obj.cls_type for obj in obj_list
-                                   if obj.cls_type != 'DontCare'])
-                num_gt = len(annotations['name'])
-                index = list(range(num_objects)) + [-1] * (num_gt - num_objects)
-                annotations['index'] = np.array(index, dtype=np.int32)
-
-                loc = annotations['location'][:num_objects]
-                dims = annotations['dimensions'][:num_objects]
-                rots = annotations['rotation_y'][:num_objects]
-                loc_lidar = calib.rect_to_lidar(loc)
-                l, h, w = dims[:, 0:1], dims[:, 1:2], dims[:, 2:3]
-                loc_lidar[:, 2] += h[:, 0] / 2
-                gt_boxes_lidar = np.concatenate(
-                    [loc_lidar, l, w, h, -(np.pi / 2 + rots[..., np.newaxis])], axis=1)
-                annotations['gt_boxes_lidar'] = gt_boxes_lidar
-
-                if count_inside_pts:
-                    points = self.get_lidar(sample_idx)
-                    calib_ = self.get_calib(sample_idx)
-                    pts_rect = calib_.lidar_to_rect(points[:, 0:3])
-                    fov_flag = self.get_fov_flag(
-                        pts_rect, info['image']['image_shape'], calib_)
-                    pts_fov = points[fov_flag]
-                    corners_lidar = box_utils.boxes_to_corners_3d(gt_boxes_lidar)
-                    num_points_in_gt = -np.ones(num_gt, dtype=np.int32)
-                    for k in range(num_objects):
-                        flag = box_utils.in_hull(pts_fov[:, 0:3], corners_lidar[k])
-                        num_points_in_gt[k] = flag.sum()
-                    annotations['num_points_in_gt'] = num_points_in_gt
-
-                info['annos'] = annotations
-            return info
-
-        sample_id_list = sample_id_list if sample_id_list is not None else self.sample_id_list
-        with futures.ThreadPoolExecutor(num_workers) as executor:
-            infos = executor.map(process_single_scene, sample_id_list)
-        return list(infos)
+        return kitti_io.build_split_infos(
+            self.io, workers=num_workers, has_label=has_label,
+            count_inside_pts=count_inside_pts, frame_ids=sample_id_list)
 
     def create_groundtruth_database(self, info_path=None, used_classes=None,
                                     split='train'):
-        database_save_path = Path(self.root_path) / (
-            'gt_database' if split == 'train' else f'gt_database_{split}')
-        db_info_save_path = Path(self.root_path) / f'kitti_dbinfos_{split}.pkl'
-        database_save_path.mkdir(parents=True, exist_ok=True)
-        all_db_infos = {}
+        kitti_io.create_gt_database(
+            self.io, info_path, Path(self.root_path),
+            used_classes=used_classes, split=split)
 
-        with open(info_path, 'rb') as f:
-            infos = pickle.load(f)
+    # -- sample pipeline ----------------------------------------------------
+    def __len__(self):
+        n = len(self.kitti_infos)
+        return n * self.total_epochs if self._merge_all_iters_to_one_epoch else n
 
-        for k, info in enumerate(infos):
-            print(f'gt_database sample: {k + 1}/{len(infos)}')
-            sample_idx = info['point_cloud']['lidar_idx']
-            points = self.get_lidar(sample_idx)
-            annos = info['annos']
-            names = annos['name']
-            difficulty = annos['difficulty']
-            bbox = annos['bbox']
-            gt_boxes = annos['gt_boxes_lidar']
+    def __getitem__(self, index):
+        if self._merge_all_iters_to_one_epoch:
+            index = index % len(self.kitti_infos)
+        info = self.kitti_infos[index]
+        fid = info['point_cloud']['lidar_idx']
+        img_shape = info['image']['image_shape']
 
-            num_obj = gt_boxes.shape[0]
-            point_indices = points_in_boxes_cpu(points[:, 0:3], gt_boxes)  # (nboxes, npoints)
+        points = self.io.lidar(fid)
+        calib = self.io.calib(fid)
+        if self.dataset_cfg.get('FOV_POINTS_ONLY', False):
+            points = points[kitti_io.fov_point_mask(
+                points[:, :3], calib, img_shape)]
 
-            for i in range(num_obj):
-                filename = f'{sample_idx}_{names[i]}_{i}.bin'
-                filepath = database_save_path / filename
-                gt_points = points[point_indices[i] > 0]
-                gt_points[:, :3] -= gt_boxes[i, :3]
-                with open(filepath, 'w') as f:
-                    gt_points.tofile(f)
+        input_dict = {'points': points, 'frame_id': fid, 'calib': calib,
+                      'image_shape': img_shape}
+        if 'annos' in info:
+            annos = common_utils.drop_info_with_name(info['annos'], 'DontCare')
+            input_dict['gt_names'] = annos['name']
+            input_dict['gt_boxes'] = annos['gt_boxes_lidar']
+            plane = self.io.road_plane(fid)
+            if plane is not None:
+                input_dict['road_plane'] = plane
 
-                if (used_classes is None) or names[i] in used_classes:
-                    db_path = str(filepath.relative_to(self.root_path))
-                    db_info = {'name': names[i], 'path': db_path,
-                               'image_idx': sample_idx, 'gt_idx': i,
-                               'box3d_lidar': gt_boxes[i],
-                               'num_points_in_gt': gt_points.shape[0],
-                               'difficulty': difficulty[i], 'bbox': bbox[i],
-                               'score': annos['score'][i]}
-                    all_db_infos.setdefault(names[i], []).append(db_info)
-        for k, v in all_db_infos.items():
-            print(f'Database {k}: {len(v)}')
-        with open(db_info_save_path, 'wb') as f:
-            pickle.dump(all_db_infos, f)
+        data_dict = self.prepare_data(data_dict=input_dict)
+        # prepare_data strips host-only keys; eval export needs them back.
+        data_dict.update(frame_id=fid, image_shape=img_shape, calib=calib)
+        return data_dict
 
-    # ------------------------------------------------------------- predictions
-
+    # -- prediction export / metric ------------------------------------------
     @staticmethod
     def generate_prediction_dicts(batch_dict, pred_dicts, class_names,
                                   output_path=None):
-        """Fixed-shape device outputs -> KITTI annos (camera/image frames).
+        """Per-sample device outputs -> KITTI anno dicts (+ optional txt).
 
         Args:
-            batch_dict: needs 'frame_id', 'calib', 'image_shape' host lists.
-            pred_dicts: list of per-sample dicts with numpy pred_boxes /
-                pred_scores / pred_labels (already mask-compacted).
+            batch_dict: host metadata lists: 'frame_id', 'calib', 'image_shape'.
+            pred_dicts: per-sample dicts of compacted numpy pred_boxes (N, 7)
+                lidar frame / pred_scores (N,) / pred_labels (N,) 1-based.
+        Returns:
+            list of KITTI-anno dicts (camera-frame), one per sample.
         """
-        def get_template_prediction(num_samples):
-            return {
-                'name': np.zeros(num_samples), 'truncated': np.zeros(num_samples),
-                'occluded': np.zeros(num_samples), 'alpha': np.zeros(num_samples),
-                'bbox': np.zeros([num_samples, 4]),
-                'dimensions': np.zeros([num_samples, 3]),
-                'location': np.zeros([num_samples, 3]),
-                'rotation_y': np.zeros(num_samples), 'score': np.zeros(num_samples),
-                'boxes_lidar': np.zeros([num_samples, 7]),
-            }
-
-        def generate_single_sample_dict(batch_index, box_dict):
-            pred_scores = np.asarray(box_dict['pred_scores'])
-            pred_boxes = np.asarray(box_dict['pred_boxes'])
-            pred_labels = np.asarray(box_dict['pred_labels'])
-            pred_dict = get_template_prediction(pred_scores.shape[0])
-            if pred_scores.shape[0] == 0:
-                return pred_dict
-
-            calib = batch_dict['calib'][batch_index]
-            image_shape = batch_dict['image_shape'][batch_index]
-            pred_boxes_camera = box_utils.boxes3d_lidar_to_kitti_camera(pred_boxes, calib)
-            pred_boxes_img = box_utils.boxes3d_kitti_camera_to_imageboxes(
-                pred_boxes_camera, calib, image_shape=image_shape)
-
-            pred_dict['name'] = np.array(class_names)[pred_labels - 1]
-            pred_dict['alpha'] = -np.arctan2(-pred_boxes[:, 1], pred_boxes[:, 0]) \
-                + pred_boxes_camera[:, 6]
-            pred_dict['bbox'] = pred_boxes_img
-            pred_dict['dimensions'] = pred_boxes_camera[:, 3:6]
-            pred_dict['location'] = pred_boxes_camera[:, 0:3]
-            pred_dict['rotation_y'] = pred_boxes_camera[:, 6]
-            pred_dict['score'] = pred_scores
-            pred_dict['boxes_lidar'] = pred_boxes
-            return pred_dict
-
         annos = []
-        for index, box_dict in enumerate(pred_dicts):
-            frame_id = batch_dict['frame_id'][index]
-            single_pred_dict = generate_single_sample_dict(index, box_dict)
-            single_pred_dict['frame_id'] = frame_id
-            annos.append(single_pred_dict)
-
+        for i, box_dict in enumerate(pred_dicts):
+            anno = _predictions_to_kitti_anno(
+                np.asarray(box_dict['pred_boxes']),
+                np.asarray(box_dict['pred_scores']),
+                np.asarray(box_dict['pred_labels']),
+                batch_dict['calib'][i], batch_dict['image_shape'][i],
+                class_names)
+            anno['frame_id'] = batch_dict['frame_id'][i]
+            annos.append(anno)
             if output_path is not None:
-                cur_det_file = Path(output_path) / f'{frame_id}.txt'
-                with open(cur_det_file, 'w') as f:
-                    bbox = single_pred_dict['bbox']
-                    loc = single_pred_dict['location']
-                    dims = single_pred_dict['dimensions']  # lhw -> format hwl
-                    for idx in range(len(bbox)):
-                        print('%s -1 -1 %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f '
-                              '%.4f %.4f %.4f %.4f %.4f'
-                              % (single_pred_dict['name'][idx],
-                                 single_pred_dict['alpha'][idx],
-                                 bbox[idx][0], bbox[idx][1], bbox[idx][2], bbox[idx][3],
-                                 dims[idx][1], dims[idx][2], dims[idx][0],
-                                 loc[idx][0], loc[idx][1], loc[idx][2],
-                                 single_pred_dict['rotation_y'][idx],
-                                 single_pred_dict['score'][idx]), file=f)
+                _write_kitti_txt(
+                    Path(output_path) / f"{anno['frame_id']}.txt", anno)
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
         if 'annos' not in self.kitti_infos[0]:
             return None, {}
-        from .kitti_object_eval_python import eval as kitti_eval
         import copy
-        eval_det_annos = copy.deepcopy(det_annos)
-        eval_gt_annos = [copy.deepcopy(info['annos']) for info in self.kitti_infos]
-        ap_result_str, ap_dict = kitti_eval.get_official_eval_result(
-            eval_gt_annos, eval_det_annos, class_names)
-        return ap_result_str, ap_dict
-
-    # ---------------------------------------------------------------- samples
-
-    def __len__(self):
-        if self._merge_all_iters_to_one_epoch:
-            return len(self.kitti_infos) * self.total_epochs
-        return len(self.kitti_infos)
-
-    def __getitem__(self, index):
-        if self._merge_all_iters_to_one_epoch:
-            index = index % len(self.kitti_infos)
-
-        info = self.kitti_infos[index]
-        sample_idx = info['point_cloud']['lidar_idx']
-
-        points = self.get_lidar(sample_idx)
-        calib = self.get_calib(sample_idx)
-        img_shape = info['image']['image_shape']
-        if self.dataset_cfg.get('FOV_POINTS_ONLY', False):
-            pts_rect = calib.lidar_to_rect(points[:, 0:3])
-            fov_flag = self.get_fov_flag(pts_rect, img_shape, calib)
-            points = points[fov_flag]
-
-        input_dict = {
-            'points': points,
-            'frame_id': sample_idx,
-            'calib': calib,
-            'image_shape': img_shape,
-        }
-
-        if 'annos' in info:
-            annos = info['annos']
-            annos = common_utils.drop_info_with_name(annos, name='DontCare')
-            gt_names = annos['name']
-            gt_boxes_lidar = annos['gt_boxes_lidar']
-            input_dict.update({
-                'gt_names': gt_names,
-                'gt_boxes': gt_boxes_lidar,
-            })
-            road_plane = self.get_road_plane(sample_idx)
-            if road_plane is not None:
-                input_dict['road_plane'] = road_plane
-
-        data_dict = self.prepare_data(data_dict=input_dict)
-        data_dict['image_shape'] = img_shape
-        data_dict['frame_id'] = sample_idx
-        data_dict['calib'] = calib
-        return data_dict
+        from .kitti_object_eval_python import eval as kitti_eval
+        gt_annos = [copy.deepcopy(info['annos']) for info in self.kitti_infos]
+        return kitti_eval.get_official_eval_result(
+            gt_annos, copy.deepcopy(det_annos), class_names)
 
 
-def create_kitti_infos(dataset_cfg, class_names, data_path, save_path, workers=4):
-    """Offline info/gt-database creation (kitti_dataset.py:386-423 parity)."""
-    dataset = KittiDataset(dataset_cfg=dataset_cfg, class_names=class_names,
-                           root_path=data_path, training=False)
-    train_split, val_split = 'train', 'val'
+def _predictions_to_kitti_anno(boxes_lidar, scores, labels, calib, image_shape,
+                               class_names):
+    """Vectorized lidar->camera-frame conversion of one sample's detections."""
+    n = scores.shape[0]
+    anno = {
+        'name': np.zeros(n), 'truncated': np.zeros(n), 'occluded': np.zeros(n),
+        'alpha': np.zeros(n), 'bbox': np.zeros([n, 4]),
+        'dimensions': np.zeros([n, 3]), 'location': np.zeros([n, 3]),
+        'rotation_y': np.zeros(n), 'score': np.zeros(n),
+        'boxes_lidar': np.zeros([n, 7]),
+    }
+    if n == 0:
+        return anno
+    boxes_cam = box_utils.boxes3d_lidar_to_kitti_camera(boxes_lidar, calib)
+    anno.update(
+        name=np.asarray(class_names)[labels - 1],
+        alpha=-np.arctan2(-boxes_lidar[:, 1], boxes_lidar[:, 0]) + boxes_cam[:, 6],
+        bbox=box_utils.boxes3d_kitti_camera_to_imageboxes(
+            boxes_cam, calib, image_shape=image_shape),
+        dimensions=boxes_cam[:, 3:6],
+        location=boxes_cam[:, 0:3],
+        rotation_y=boxes_cam[:, 6],
+        score=scores,
+        boxes_lidar=boxes_lidar,
+    )
+    return anno
 
-    train_filename = save_path / f'kitti_infos_{train_split}.pkl'
-    val_filename = save_path / f'kitti_infos_{val_split}.pkl'
-    trainval_filename = save_path / 'kitti_infos_trainval.pkl'
-    test_filename = save_path / 'kitti_infos_test.pkl'
 
+def _write_kitti_txt(path, anno):
+    dims_hwl = anno['dimensions'][:, [1, 2, 0]]
+    rows = [
+        _KITTI_ROW % (anno['name'][i], anno['alpha'][i], *anno['bbox'][i],
+                      *dims_hwl[i], *anno['location'][i],
+                      anno['rotation_y'][i], anno['score'][i])
+        for i in range(len(anno['score']))
+    ]
+    path.write_text('\n'.join(rows) + ('\n' if rows else ''))
+
+
+def create_kitti_infos(dataset_cfg, class_names, data_path, save_path,
+                       workers=4):
+    """Offline CLI: build info pickles for all splits + the train gt database.
+
+    Artifact-schema parity with the reference CLI
+    (kitti_dataset.py:386-423): kitti_infos_{train,val,trainval,test}.pkl
+    then gt_database/ + kitti_dbinfos_train.pkl.
+    """
+    data_path, save_path = Path(data_path), Path(save_path)
+    split_plan = [
+        ('train', True), ('val', True), ('test', False),
+    ]
+    infos_by_split = {}
     print('---------------Start to generate data infos---------------')
-    dataset.set_split(train_split)
-    kitti_infos_train = dataset.get_infos(
-        num_workers=workers, has_label=True, count_inside_pts=True)
-    with open(train_filename, 'wb') as f:
-        pickle.dump(kitti_infos_train, f)
-    print(f'Kitti info train file is saved to {train_filename}')
+    for split, has_label in split_plan:
+        io = kitti_io.KittiSplitIO(data_path, split)
+        if io.frame_ids is None:
+            continue
+        infos_by_split[split] = kitti_io.build_split_infos(
+            io, workers=workers, has_label=has_label,
+            count_inside_pts=has_label)
+        out = save_path / f'kitti_infos_{split}.pkl'
+        with open(out, 'wb') as f:
+            pickle.dump(infos_by_split[split], f)
+        print(f'Kitti info {split} file is saved to {out}')
 
-    dataset.set_split(val_split)
-    kitti_infos_val = dataset.get_infos(
-        num_workers=workers, has_label=True, count_inside_pts=True)
-    with open(val_filename, 'wb') as f:
-        pickle.dump(kitti_infos_val, f)
-    print(f'Kitti info val file is saved to {val_filename}')
-
-    with open(trainval_filename, 'wb') as f:
-        pickle.dump(kitti_infos_train + kitti_infos_val, f)
-
-    dataset.set_split('test')
-    if dataset.sample_id_list:
-        kitti_infos_test = dataset.get_infos(
-            num_workers=workers, has_label=False, count_inside_pts=False)
-        with open(test_filename, 'wb') as f:
-            pickle.dump(kitti_infos_test, f)
-        print(f'Kitti info test file is saved to {test_filename}')
+    if 'train' in infos_by_split and 'val' in infos_by_split:
+        with open(save_path / 'kitti_infos_trainval.pkl', 'wb') as f:
+            pickle.dump(infos_by_split['train'] + infos_by_split['val'], f)
 
     print('------------Start create groundtruth database for data augmentation------------')
-    dataset.set_split(train_split)
-    dataset.create_groundtruth_database(train_filename, split=train_split)
+    kitti_io.create_gt_database(
+        kitti_io.KittiSplitIO(data_path, 'train'),
+        save_path / 'kitti_infos_train.pkl', save_path, split='train')
     print('---------------Data preparation Done---------------')
 
 
@@ -414,7 +228,7 @@ if __name__ == '__main__':
     import yaml
     from ...config import ConfigDict
 
-    if sys.argv.__len__() > 1 and sys.argv[1] == 'create_kitti_infos':
+    if len(sys.argv) > 1 and sys.argv[1] == 'create_kitti_infos':
         dataset_cfg = ConfigDict(yaml.safe_load(open(sys.argv[2])))
         ROOT_DIR = Path(__file__).resolve().parent.parent.parent.parent
         create_kitti_infos(

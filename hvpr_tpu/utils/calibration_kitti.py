@@ -1,107 +1,147 @@
-"""KITTI calibration parsing and frame projections (host-side, numpy).
+"""KITTI sensor calibration as precomputed homogeneous frame transforms.
 
-Parity target: /root/reference/pcdet/utils/calibration_kitti.py (P2/R0/V2C
-parsing:4-20; lidar<->rect<->image projections:42-125).
+Covers the same projections as the reference's calibration helper
+(/root/reference/pcdet/utils/calibration_kitti.py), redesigned: the calib
+file is parsed by key (``P2:``, ``R0_rect:``, ``Tr_velo_to_cam:``) instead of
+by line number, the velodyne<->rectified-camera mapping is folded once into a
+single 4x4 matrix (and its inverse) at construction, and every projection is
+one generic homogeneous matrix application. Supports arbitrary leading batch
+dimensions on the point arrays.
+
+Frames (KITTI devkit conventions):
+    lidar  — velodyne: x forward, y left, z up.
+    rect   — rectified camera 2: x right, y down, z forward.
+    image  — pixel (u, v) via the P2 projection matrix.
 """
 
 import numpy as np
 
+_F32 = np.float32
+
+
+def _to_4x4(m):
+    """Embed a (3, 3) rotation or (3, 4) rigid transform into SE(3) 4x4."""
+    out = np.eye(4, dtype=_F32)
+    out[:3, : m.shape[1]] = m
+    return out
+
+
+def _apply(matrix, pts):
+    """Apply a homogeneous (4, 4) [or (3, 4)] transform to (..., 3) points."""
+    res = pts @ matrix[:3, :3].T + matrix[:3, 3]
+    return res.astype(_F32, copy=False)
+
+
+def parse_calib_file(path):
+    """Read a KITTI calib txt into {key: (rows, cols) float array}.
+
+    Lines look like ``P2: v0 v1 ... v11``; matrices with 12 values are
+    (3, 4), with 9 values (3, 3).
+    """
+    mats = {}
+    with open(path) as f:
+        for line in f:
+            if ':' not in line:
+                continue
+            key, _, vals = line.partition(':')
+            vals = np.array(vals.split(), dtype=_F32)
+            if vals.size == 12:
+                mats[key.strip()] = vals.reshape(3, 4)
+            elif vals.size == 9:
+                mats[key.strip()] = vals.reshape(3, 3)
+    return mats
+
 
 def get_calib_from_file(calib_file):
-    with open(calib_file) as f:
-        lines = f.readlines()
-
-    obj = lines[2].strip().split(' ')[1:]
-    P2 = np.array(obj, dtype=np.float32)
-    obj = lines[3].strip().split(' ')[1:]
-    P3 = np.array(obj, dtype=np.float32)
-    obj = lines[4].strip().split(' ')[1:]
-    R0 = np.array(obj, dtype=np.float32)
-    obj = lines[5].strip().split(' ')[1:]
-    Tr_velo_to_cam = np.array(obj, dtype=np.float32)
-
+    """Reference-schema dict view of a calib file (P2/P3/R0/Tr_velo2cam)."""
+    mats = parse_calib_file(calib_file)
     return {
-        'P2': P2.reshape(3, 4),
-        'P3': P3.reshape(3, 4),
-        'R0': R0.reshape(3, 3),
-        'Tr_velo2cam': Tr_velo_to_cam.reshape(3, 4),
+        'P2': mats['P2'],
+        'P3': mats.get('P3', mats['P2']),
+        'R0': mats['R0_rect'],
+        'Tr_velo2cam': mats['Tr_velo_to_cam'],
     }
 
 
 class Calibration:
-    def __init__(self, calib_file):
-        if not isinstance(calib_file, dict):
-            calib = get_calib_from_file(calib_file)
-        else:
-            calib = calib_file
+    """Projection bundle for one KITTI frame.
 
-        self.P2 = calib['P2']  # 3 x 4
-        self.R0 = calib['R0']  # 3 x 3
-        self.V2C = calib['Tr_velo2cam']  # 3 x 4
+    Construct from a calib file path or a dict with keys
+    ``P2`` (3, 4), ``R0`` (3, 3), ``Tr_velo2cam`` (3, 4).
+    """
 
-        # camera intrinsics and extrinsics
-        self.cu = self.P2[0, 2]
-        self.cv = self.P2[1, 2]
-        self.fu = self.P2[0, 0]
-        self.fv = self.P2[1, 1]
-        self.tx = self.P2[0, 3] / (-self.fu)
-        self.ty = self.P2[1, 3] / (-self.fv)
+    def __init__(self, src):
+        raw = src if isinstance(src, dict) else get_calib_from_file(src)
+        self.P2 = np.asarray(raw['P2'], dtype=_F32)
+        self.R0 = np.asarray(raw['R0'], dtype=_F32)
+        self.V2C = np.asarray(raw['Tr_velo2cam'], dtype=_F32)
 
-    def cart_to_hom(self, pts):
-        """(N, 3 or 2) -> (N, 4 or 3) homogeneous."""
-        return np.hstack((pts, np.ones((pts.shape[0], 1), dtype=np.float32)))
+        # One 4x4 each way: rect = R0_ext @ V2C_ext @ lidar.
+        self._lidar_to_rect = _to_4x4(self.R0) @ _to_4x4(self.V2C)
+        self._rect_to_lidar = np.linalg.inv(self._lidar_to_rect).astype(_F32)
+
+    # -- intrinsics (derived views of P2) ---------------------------------
+    @property
+    def fu(self):
+        return self.P2[0, 0]
+
+    @property
+    def fv(self):
+        return self.P2[1, 1]
+
+    @property
+    def cu(self):
+        return self.P2[0, 2]
+
+    @property
+    def cv(self):
+        return self.P2[1, 2]
+
+    # -- frame transforms --------------------------------------------------
+    def lidar_to_rect(self, pts_lidar):
+        """(..., 3) lidar -> (..., 3) rectified-camera points."""
+        return _apply(self._lidar_to_rect, np.asarray(pts_lidar, dtype=_F32))
 
     def rect_to_lidar(self, pts_rect):
-        """(N, 3) rect camera frame -> (N, 3) lidar frame."""
-        pts_rect_hom = self.cart_to_hom(pts_rect)  # (N, 4)
-        R0_ext = np.hstack((self.R0, np.zeros((3, 1), dtype=np.float32)))  # (3, 4)
-        R0_ext = np.vstack((R0_ext, np.zeros((1, 4), dtype=np.float32)))  # (4, 4)
-        R0_ext[3, 3] = 1
-        V2C_ext = np.vstack((self.V2C, np.zeros((1, 4), dtype=np.float32)))  # (4, 4)
-        V2C_ext[3, 3] = 1
-
-        pts_lidar = np.dot(pts_rect_hom, np.linalg.inv(np.dot(R0_ext, V2C_ext).T))
-        return pts_lidar[:, 0:3]
-
-    def lidar_to_rect(self, pts_lidar):
-        """(N, 3) lidar frame -> (N, 3) rect camera frame."""
-        pts_lidar_hom = self.cart_to_hom(pts_lidar)
-        pts_rect = np.dot(pts_lidar_hom, np.dot(self.V2C.T, self.R0.T))
-        return pts_rect
+        """(..., 3) rectified-camera -> (..., 3) lidar points."""
+        return _apply(self._rect_to_lidar, np.asarray(pts_rect, dtype=_F32))
 
     def rect_to_img(self, pts_rect):
-        """(N, 3) rect -> (N, 2) image pixel coords + (N,) depth in rect camera."""
-        pts_rect_hom = self.cart_to_hom(pts_rect)
-        pts_2d_hom = np.dot(pts_rect_hom, self.P2.T)
-        pts_img = (pts_2d_hom[:, 0:2].T / pts_rect_hom[:, 2]).T  # (N, 2)
-        pts_rect_depth = pts_2d_hom[:, 2] - self.P2.T[3, 2]  # depth in rect camera coord
-        return pts_img, pts_rect_depth
+        """(..., 3) rect points -> ((..., 2) pixels, (...,) rect depth).
+
+        KITTI-devkit-compatible projection: the perspective divide uses the
+        rect-frame z of the point (the returned depth), not the projected w.
+        """
+        pts_rect = np.asarray(pts_rect, dtype=_F32)
+        uvw = _apply(self.P2, pts_rect)
+        depth = pts_rect[..., 2]
+        uv = uvw[..., :2] / depth[..., None]
+        return uv.astype(_F32), depth.astype(_F32)
 
     def lidar_to_img(self, pts_lidar):
-        pts_rect = self.lidar_to_rect(pts_lidar)
-        return self.rect_to_img(pts_rect)
+        """(..., 3) lidar points -> ((..., 2) pixels, (...,) rect depth)."""
+        return self.rect_to_img(self.lidar_to_rect(pts_lidar))
 
     def img_to_rect(self, u, v, depth_rect):
-        """(N,) u, v pixels + depth -> (N, 3) rect frame points."""
-        x = ((u - self.cu) * depth_rect) / self.fu + self.tx
-        y = ((v - self.cv) * depth_rect) / self.fv + self.ty
-        pts_rect = np.concatenate(
-            (x.reshape(-1, 1), y.reshape(-1, 1), depth_rect.reshape(-1, 1)), axis=1)
-        return pts_rect
+        """Pixel coords + rect depth -> (N, 3) rect points (pinhole inverse)."""
+        u = np.asarray(u, dtype=_F32).reshape(-1)
+        v = np.asarray(v, dtype=_F32).reshape(-1)
+        d = np.asarray(depth_rect, dtype=_F32).reshape(-1)
+        x = (u - self.cu) * d / self.fu - self.P2[0, 3] / self.fu
+        y = (v - self.cv) * d / self.fv - self.P2[1, 3] / self.fv
+        return np.stack([x, y, d], axis=1)
 
     def corners3d_to_img_boxes(self, corners3d):
-        """(N, 8, 3) rect-frame corners -> (N, 4) image boxes + (N, 8, 2) corner pixels."""
-        sample_num = corners3d.shape[0]
-        corners3d_hom = np.concatenate(
-            (corners3d, np.ones((sample_num, 8, 1))), axis=2)  # (N, 8, 4)
-        img_pts = np.matmul(corners3d_hom, self.P2.T)  # (N, 8, 3)
+        """(N, 8, 3) rect-frame corners -> (N, 4) xyxy image boxes, (N, 8, 2) pixels."""
+        uv, _ = self.rect_to_img(np.asarray(corners3d, dtype=_F32))
+        lo = uv.min(axis=1)
+        hi = uv.max(axis=1)
+        return np.concatenate([lo, hi], axis=1), uv
 
-        x, y = img_pts[:, :, 0] / img_pts[:, :, 2], img_pts[:, :, 1] / img_pts[:, :, 2]
-        x1, y1 = np.min(x, axis=1), np.min(y, axis=1)
-        x2, y2 = np.max(x, axis=1), np.max(y, axis=1)
-
-        boxes = np.concatenate(
-            (x1.reshape(-1, 1), y1.reshape(-1, 1), x2.reshape(-1, 1), y2.reshape(-1, 1)), axis=1)
-        boxes_corner = np.concatenate(
-            (x.reshape(-1, 8, 1), y.reshape(-1, 8, 1)), axis=2)
-        return boxes, boxes_corner
+    # -- misc ---------------------------------------------------------------
+    @staticmethod
+    def cart_to_hom(pts):
+        """(N, D) -> (N, D + 1) homogeneous."""
+        pts = np.asarray(pts, dtype=_F32)
+        return np.concatenate(
+            [pts, np.ones((*pts.shape[:-1], 1), dtype=_F32)], axis=-1)

@@ -1,84 +1,115 @@
-"""KITTI label-file parsing (host-side).
+"""KITTI label files as vectorized column tables.
 
-Parity target: /root/reference/pcdet/utils/object3d_kitti.py (label-line
-parser, difficulty levels:38-52, corner generation:54-70).
+Covers the reference's per-object label parser
+(/root/reference/pcdet/utils/object3d_kitti.py) with a different design:
+one pass parses the whole file into a ``LabelTable`` of numpy columns, and
+difficulty / corner generation are vectorized over all objects — no
+per-object Python objects. Downstream code (info building, gt-database
+creation) consumes the columns directly.
+
+KITTI label line format (15 or 16 whitespace-separated fields):
+    type truncated occluded alpha  x1 y1 x2 y2  h w l  x y z  ry  [score]
 """
+
+import dataclasses
 
 import numpy as np
 
+# KITTI class ids used by the gt database / difficulty bookkeeping.
+CLASS_IDS = {'Car': 1, 'Pedestrian': 2, 'Cyclist': 3, 'Van': 4}
 
-def get_objects_from_label(label_file):
-    with open(label_file, 'r') as f:
-        lines = f.readlines()
-    return [Object3d(line) for line in lines]
-
-
-def cls_type_to_id(cls_type):
-    type_to_id = {'Car': 1, 'Pedestrian': 2, 'Cyclist': 3, 'Van': 4}
-    if cls_type not in type_to_id.keys():
-        return -1
-    return type_to_id[cls_type]
+# (min 2D box height px, max truncation, max occlusion) per difficulty level.
+_DIFFICULTY_GATES = (
+    (40.0, 0.15, 0),  # 0: easy
+    (25.0, 0.30, 1),  # 1: moderate
+    (25.0, 0.50, 2),  # 2: hard
+)
 
 
-class Object3d:
-    def __init__(self, line):
-        label = line.strip().split(' ')
-        self.src = line
-        self.cls_type = label[0]
-        self.cls_id = cls_type_to_id(self.cls_type)
-        self.truncation = float(label[1])
-        self.occlusion = float(label[2])  # 0 visible, 1 partly occluded, 2 fully occluded, 3 unknown
-        self.alpha = float(label[3])
-        self.box2d = np.array((float(label[4]), float(label[5]), float(label[6]), float(label[7])),
-                              dtype=np.float32)
-        self.h = float(label[8])
-        self.w = float(label[9])
-        self.l = float(label[10])
-        self.loc = np.array((float(label[11]), float(label[12]), float(label[13])), dtype=np.float32)
-        self.dis_to_cam = np.linalg.norm(self.loc)
-        self.ry = float(label[14])
-        self.score = float(label[15]) if label.__len__() == 16 else -1.0
-        self.level_str = None
-        self.level = self.get_kitti_obj_level()
+@dataclasses.dataclass
+class LabelTable:
+    """Column-oriented view of one label file (all arrays share length N)."""
 
-    def get_kitti_obj_level(self):
-        height = float(self.box2d[3]) - float(self.box2d[1]) + 1
+    name: np.ndarray        # (N,) unicode class names
+    truncated: np.ndarray   # (N,) f32 in [0, 1]
+    occluded: np.ndarray    # (N,) f32 {0, 1, 2, 3}
+    alpha: np.ndarray       # (N,) f32 observation angle
+    bbox: np.ndarray        # (N, 4) f32 image box x1 y1 x2 y2
+    dims_lhw: np.ndarray    # (N, 3) f32 length, height, width
+    loc: np.ndarray         # (N, 3) f32 bottom-center in rect camera frame
+    ry: np.ndarray          # (N,) f32 rect-frame yaw
+    score: np.ndarray       # (N,) f32 (-1 for gt labels)
 
-        if height >= 40 and self.truncation <= 0.15 and self.occlusion <= 0:
-            self.level_str = 'Easy'
-            return 0  # Easy
-        elif height >= 25 and self.truncation <= 0.3 and self.occlusion <= 1:
-            self.level_str = 'Moderate'
-            return 1  # Moderate
-        elif height >= 25 and self.truncation <= 0.5 and self.occlusion <= 2:
-            self.level_str = 'Hard'
-            return 2  # Hard
-        else:
-            self.level_str = 'UnKnown'
-            return -1
+    def __len__(self):
+        return len(self.name)
 
-    def generate_corners3d(self):
-        """(8, 3) corners in the rect camera frame."""
-        l, h, w = self.l, self.h, self.w
-        x_corners = [l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2]
-        y_corners = [0, 0, 0, 0, -h, -h, -h, -h]
-        z_corners = [w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2]
+    @property
+    def difficulty(self):
+        """(N,) int32 KITTI difficulty: 0 easy / 1 moderate / 2 hard / -1."""
+        height = self.bbox[:, 3] - self.bbox[:, 1] + 1
+        level = np.full(len(self), -1, dtype=np.int32)
+        # Assign the hardest-first so easier gates overwrite.
+        for lvl, (min_h, max_trunc, max_occ) in reversed(
+                list(enumerate(_DIFFICULTY_GATES))):
+            ok = ((height >= min_h) & (self.truncated <= max_trunc)
+                  & (self.occluded <= max_occ))
+            level[ok] = lvl
+        return level
 
-        R = np.array([[np.cos(self.ry), 0, np.sin(self.ry)],
-                      [0, 1, 0],
-                      [-np.sin(self.ry), 0, np.cos(self.ry)]])
-        corners3d = np.array([x_corners, y_corners, z_corners], dtype=np.float32)
-        corners3d = np.dot(R, corners3d).T
-        corners3d = corners3d + self.loc
-        return corners3d
+    @property
+    def class_id(self):
+        """(N,) int32 ids per CLASS_IDS, -1 for other classes."""
+        return np.array([CLASS_IDS.get(n, -1) for n in self.name],
+                        dtype=np.int32)
 
-    def to_str(self):
-        return ('%s %.3f %.3f %.3f box2d: %s hwl: [%.3f %.3f %.3f] pos: %s ry: %.3f'
-                % (self.cls_type, self.truncation, self.occlusion, self.alpha,
-                   self.box2d, self.h, self.w, self.l, self.loc, self.ry))
+    def corners_camera(self):
+        """(N, 8, 3) rect-frame box corners, y-down with bottom at loc.
 
-    def to_kitti_format(self):
-        return ('%s %.2f %d %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f'
-                % (self.cls_type, self.truncation, int(self.occlusion), self.alpha,
-                   self.box2d[0], self.box2d[1], self.box2d[2], self.box2d[3],
-                   self.h, self.w, self.l, self.loc[0], self.loc[1], self.loc[2], self.ry))
+        Corner order matches the devkit: x alternating +-l/2 around the
+        heading, y in {0, -h}, z alternating +-w/2.
+        """
+        l, h, w = (self.dims_lhw[:, i] for i in range(3))
+        ux = np.array([1, 1, -1, -1, 1, 1, -1, -1], dtype=np.float32)
+        uy = np.array([0, 0, 0, 0, -1, -1, -1, -1], dtype=np.float32)
+        uz = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.float32)
+        local = np.stack([
+            ux * (l[:, None] / 2),
+            uy * h[:, None],
+            uz * (w[:, None] / 2),
+        ], axis=-1)                                           # (N, 8, 3)
+        c, s = np.cos(self.ry), np.sin(self.ry)
+        zeros, ones = np.zeros_like(c), np.ones_like(c)
+        # Rotation about the camera y (vertical) axis.
+        rot = np.stack([
+            np.stack([c, zeros, s], -1),
+            np.stack([zeros, ones, zeros], -1),
+            np.stack([-s, zeros, c], -1),
+        ], axis=1)                                            # (N, 3, 3)
+        return np.einsum('nij,nkj->nki', rot, local) + self.loc[:, None, :]
+
+
+def read_label(path):
+    """Parse a label file into a LabelTable (empty files give N=0)."""
+    names, rows = [], []
+    with open(path) as f:
+        for line in f:
+            fields = line.split()
+            if not fields:
+                continue
+            names.append(fields[0])
+            vals = [float(v) for v in fields[1:15]]
+            vals.append(float(fields[15]) if len(fields) > 15 else -1.0)
+            rows.append(vals)
+    num = np.asarray(rows, dtype=np.float32).reshape(len(rows), 15)
+    return LabelTable(
+        name=np.asarray(names),
+        truncated=num[:, 0],
+        occluded=num[:, 1],
+        alpha=num[:, 2],
+        bbox=num[:, 3:7],
+        # file order is h w l -> store as l h w
+        dims_lhw=num[:, [9, 7, 8]],
+        loc=num[:, 10:13],
+        ry=num[:, 13],
+        score=num[:, 14],
+    )

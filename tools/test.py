@@ -55,6 +55,18 @@ def parse_config():
 
 
 def load_params_into_network(net, ckpt_path, logger):
+    if str(ckpt_path).endswith('.pth'):
+        # torch reference checkpoint (name-mapped + layout-transformed)
+        from hvpr_tpu.utils.torch_ckpt import load_pth_into_variables
+        net.variables, report = load_pth_into_variables(
+            str(ckpt_path), net.variables, logger=logger)
+        if report['mismatched']:
+            logger.info('Skipped (shape-mismatched) keys: %s',
+                        report['mismatched'])
+        logger.info('Loaded torch checkpoint %s', ckpt_path)
+        import re as _re
+        m = _re.search(r'checkpoint_epoch_(\d+)', str(ckpt_path))
+        return m.group(1) if m else 'no_number'
     payload = load_checkpoint(ckpt_path)
     skipped = net.load_state_dict(payload['model_state'])
     if skipped:

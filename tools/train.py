@@ -118,9 +118,16 @@ def main():
     start_epoch = it = 0
 
     if args.pretrained_model is not None:
-        ckpt = load_checkpoint(args.pretrained_model)
         net.variables = {'params': state.params, 'batch_stats': state.batch_stats}
-        skipped = net.load_state_dict(ckpt['model_state'])
+        if str(args.pretrained_model).endswith('.pth'):
+            # torch reference checkpoint (name-mapped + layout-transformed)
+            from hvpr_tpu.utils.torch_ckpt import load_pth_into_variables
+            net.variables, report = load_pth_into_variables(
+                args.pretrained_model, net.variables, logger=logger)
+            skipped = report['mismatched'] + report['missing']
+        else:
+            ckpt = load_checkpoint(args.pretrained_model)
+            skipped = net.load_state_dict(ckpt['model_state'])
         state = state.replace(params=net.variables['params'],
                               batch_stats=net.variables['batch_stats'])
         logger.info('Loaded pretrained model, skipped keys: %s', skipped)
