@@ -80,11 +80,10 @@ def bev_box_overlap(boxes, qboxes, criterion=-1):
 
     if criterion == -1:
         return boxes_bev_iou_cpu(to7(boxes), to7(qboxes)).astype(np.float64)
-    # other criteria need the raw intersection area
-    a, q = to7(boxes), to7(qboxes)
-    import jax.numpy as jnp
-    from ....ops.rotated_iou import boxes_overlap_bev
-    inter = np.asarray(boxes_overlap_bev(jnp.asarray(a), jnp.asarray(q)))
+    # other criteria need the raw intersection area (host-side: the metric
+    # must not round-trip through jitted code with dynamic (N, M) shapes)
+    from ....ops.rotated_iou import boxes_overlap_bev_cpu
+    inter = boxes_overlap_bev_cpu(to7(boxes), to7(qboxes))
     if criterion == -2:          # intersection area only (used by d3_box_overlap)
         return inter.astype(np.float64)
     if criterion == 0:

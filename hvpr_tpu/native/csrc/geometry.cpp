@@ -125,6 +125,22 @@ void boxes_iou_bev_cpu(const float *boxes_a, int64_t n, const float *boxes_b,
   }
 }
 
+// boxes: (n, 7) / (m, 7); out: (n, m) raw rotated-BEV intersection AREA
+// (needed by the KITTI evaluator's criterion!=-1 overlap modes and the
+//  3D-overlap prefix — reference pcdet rotate_iou criterion semantics)
+void boxes_overlap_bev_cpu(const float *boxes_a, int64_t n,
+                           const float *boxes_b, int64_t m, float *out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const float *ba = boxes_a + i * 7;
+    const float a5[5] = {ba[0], ba[1], ba[3], ba[4], ba[6]};
+    for (int64_t j = 0; j < m; ++j) {
+      const float *bb = boxes_b + j * 7;
+      const float b5[5] = {bb[0], bb[1], bb[3], bb[4], bb[6]};
+      out[i * m + j] = box_intersection_area(a5, b5);
+    }
+  }
+}
+
 // boxes: (n, 7) / (m, 7); out: (n, m) 3d IoU (z-center convention)
 void boxes_iou3d_cpu(const float *boxes_a, int64_t n, const float *boxes_b,
                      int64_t m, float *out) {

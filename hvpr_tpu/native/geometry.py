@@ -40,6 +40,7 @@ def _load():
             f64p = ctypes.POINTER(ctypes.c_double)
             i32p = ctypes.POINTER(ctypes.c_int32)
             lib.boxes_iou_bev_cpu.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64, f32p]
+            lib.boxes_overlap_bev_cpu.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64, f32p]
             lib.boxes_iou3d_cpu.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64, f32p]
             lib.points_in_boxes_cpu_kernel.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64, i32p]
             lib.kitti_compute_statistics.argtypes = [
@@ -65,6 +66,18 @@ def boxes_iou_bev(boxes_a, boxes_b):
     a, b = _f32(boxes_a), _f32(boxes_b)
     out = np.zeros((a.shape[0], b.shape[0]), dtype=np.float32)
     lib.boxes_iou_bev_cpu(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), a.shape[0],
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), b.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def boxes_overlap_bev(boxes_a, boxes_b):
+    """Raw rotated-BEV intersection areas, (n, m)."""
+    lib = _load()
+    a, b = _f32(boxes_a), _f32(boxes_b)
+    out = np.zeros((a.shape[0], b.shape[0]), dtype=np.float32)
+    lib.boxes_overlap_bev_cpu(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), a.shape[0],
         b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), b.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

@@ -148,6 +148,24 @@ boxes_iou_bev_jit = jax.jit(boxes_iou_bev)
 boxes_iou3d_jit = jax.jit(boxes_iou3d)
 
 
+def boxes_overlap_bev_cpu(boxes_a, boxes_b):
+    """Host-side raw rotated-BEV intersection areas on numpy (N, 7) boxes.
+
+    Used by the KITTI AP evaluator's criterion!=-1 overlap modes so the
+    host metric never round-trips through jitted device code (which would
+    recompile per (N, M) shape). Prefers the native C++ extension.
+    """
+    boxes_a = np.asarray(boxes_a, dtype=np.float32)
+    boxes_b = np.asarray(boxes_b, dtype=np.float32)
+    if boxes_a.shape[0] == 0 or boxes_b.shape[0] == 0:
+        return np.zeros((boxes_a.shape[0], boxes_b.shape[0]), dtype=np.float32)
+    from ..native import geometry as native_geometry
+    if native_geometry.available():
+        return native_geometry.boxes_overlap_bev(boxes_a, boxes_b)
+    return np.asarray(boxes_overlap_bev(jnp.asarray(boxes_a),
+                                        jnp.asarray(boxes_b)))
+
+
 def boxes_bev_iou_cpu(boxes_a, boxes_b):
     """Host-side rotated BEV IoU on numpy inputs (gt-sampler collision test).
 

@@ -153,6 +153,12 @@ def test_train_then_eval_cli(tmp_path):
     ckpts = list(ckpt_dir.glob('checkpoint_epoch_*.msgpack'))
     assert ckpts, f'no checkpoints in {ckpt_dir}: {out.stdout[-2000:]}'
 
+    # train.py chains the post-train eval watcher (reference train.py:180-196)
+    eval_with_train = ckpt_dir.parent / 'eval' / 'eval_with_train'
+    assert list(eval_with_train.glob('epoch_*/*/result.pkl')), \
+        f'post-train eval produced no results: {out.stdout[-2000:]}'
+    assert 'has been evaluated' in out.stdout + out.stderr
+
     out = subprocess.run(
         [sys.executable, str(REPO / 'tools' / 'test.py'),
          '--cfg_file', 'cfgs/kitti_models/mini_hvpr.yaml', '--batch_size', '2',
@@ -167,8 +173,11 @@ def test_train_then_eval_cli(tmp_path):
          '--cfg_file', 'cfgs/kitti_models/mini_hvpr.yaml',
          '--data_path', str(root / 'training' / 'velodyne'),
          '--ckpt', str(ckpts[-1]),
-         '--save_bev', str(tmp_path / 'bev')],
+         '--save_bev', str(tmp_path / 'bev'),
+         '--save_3d', str(tmp_path / 'scene3d')],
         capture_output=True, text=True, timeout=1200, env=env, cwd=str(tmp_path))
     assert out.returncode == 0, out.stderr[-4000:]
     assert 'Demo done' in out.stdout + out.stderr
     assert list((tmp_path / 'bev').glob('*.png'))
+    assert list((tmp_path / 'scene3d').glob('*_3d.png'))
+    assert list((tmp_path / 'scene3d').glob('*.ply'))

@@ -61,6 +61,8 @@ def parse_config():
     parser.add_argument('--ext', type=str, default='.bin')
     parser.add_argument('--save_bev', type=str, default=None,
                         help='directory to dump BEV visualizations')
+    parser.add_argument('--save_3d', type=str, default=None,
+                        help='directory to dump 3D scene renders (.png + .ply)')
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
     return args, cfg
@@ -110,6 +112,20 @@ def main():
                 np.asarray(data_dict['points'][0]), boxes,
                 save_path=out_dir / f'demo_{idx:04d}.png',
                 point_cloud_range=cfg_.DATA_CONFIG.POINT_CLOUD_RANGE)
+
+        if args.save_3d:
+            # 3D scene render + .ply export (mayavi draw_scenes replacement,
+            # reference visual_utils.py:142-215)
+            from visual_utils.visual_utils import draw_scenes, export_scene_ply
+            out_dir = Path(args.save_3d)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            pts = np.asarray(data_dict['points'][0])
+            pts = pts[np.asarray(data_dict['point_valid_mask'][0])] \
+                if 'point_valid_mask' in data_dict else pts
+            draw_scenes(pts, ref_boxes=boxes,
+                        save_path=out_dir / f'demo_{idx:04d}_3d.png')
+            export_scene_ply(pts, boxes,
+                             save_path=str(out_dir / f'demo_{idx:04d}.ply'))
     logger.info('Demo done.')
 
 

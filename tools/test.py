@@ -112,6 +112,8 @@ def repeat_eval_ckpt(net, test_loader, args, eval_output_dir, logger, ckpt_dir,
     while True:
         cur_epoch_id, cur_ckpt = get_no_evaluated_ckpt(ckpt_dir, ckpt_record_file, args)
         if cur_epoch_id == -1 or int(float(cur_epoch_id)) < args.start_epoch:
+            if args.max_waiting_mins <= 0:
+                break  # no waiting requested (post-train chain)
             wait_second = 30
             if jax.process_index() == 0:
                 print('Wait %s seconds for next check (progress: %.1f / %d minutes): %s'

@@ -47,6 +47,11 @@ def parse_config():
     parser.add_argument('--ckpt_save_interval', type=int, default=1)
     parser.add_argument('--max_ckpt_save_num', type=int, default=30)
     parser.add_argument('--merge_all_iters_to_one_epoch', action='store_true', default=False)
+    parser.add_argument('--num_epochs_to_eval', type=int, default=10,
+                        help='post-train: evaluate the last N checkpoints')
+    parser.add_argument('--max_waiting_mins', type=int, default=0,
+                        help='post-train eval watcher timeout (0: no wait)')
+    parser.add_argument('--save_to_file', action='store_true', default=False)
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER,
                         help='set extra config keys')
     args = parser.parse_args()
@@ -162,6 +167,32 @@ def main():
         merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
         net=net, logger=logger)
     logger.info('**********************End training**********************')
+
+    # post-train: auto-evaluate the last N checkpoints via the test.py
+    # watcher, as the reference does (reference train.py:180-196).
+    logger.info('**********************Start evaluation %s/%s(%s)**********************',
+                cfg_.EXP_GROUP_PATH, cfg_.TAG, args.extra_tag)
+    import test as test_cli  # tools/test.py (script dir precedes stdlib)
+
+    test_set, test_loader, _ = build_dataloader(
+        dataset_cfg=cfg_.DATA_CONFIG, class_names=cfg_.CLASS_NAMES,
+        batch_size=args.batch_size, dist=dist_train,
+        root_path=Path(cfg_.DATA_CONFIG.DATA_PATH), workers=args.workers,
+        logger=logger, training=False)
+    eval_net = build_network(cfg_.MODEL, num_class=len(cfg_.CLASS_NAMES),
+                             dataset=test_set)
+    init_batch = test_set.collate_batch([test_set[0]])
+    device_init = {k: v for k, v in init_batch.items()
+                   if isinstance(v, np.ndarray)}
+    eval_net.init(jax.random.PRNGKey(0), device_init, train=False)
+
+    eval_output_dir = output_dir / 'eval' / 'eval_with_train'
+    eval_output_dir.mkdir(parents=True, exist_ok=True)
+    args.start_epoch = max(args.epochs - args.num_epochs_to_eval, 0)
+    test_cli.repeat_eval_ckpt(
+        eval_net, test_loader, args, eval_output_dir, logger, ckpt_dir,
+        dist_test=dist_train)
+    logger.info('**********************End evaluation**********************')
 
 
 if __name__ == '__main__':
