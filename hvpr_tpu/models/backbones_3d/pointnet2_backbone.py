@@ -43,6 +43,7 @@ class SAModuleMSG(nn.Module):
     nsamples: Sequence[int]
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
+    fps_chunks: int = 1
 
     @nn.compact
     def __call__(self, xyz, features, mask, train: bool):
@@ -52,7 +53,8 @@ class SAModuleMSG(nn.Module):
         Returns:
             new_xyz (B, S, 3), new_features (B, S, sum(mlp[-1])), new_mask (B, S).
         """
-        idx = pn2.furthest_point_sample(xyz, mask, self.npoint)       # (B, S)
+        idx = pn2.furthest_point_sample(xyz, mask, self.npoint,
+                                        num_chunks=self.fps_chunks)   # (B, S)
         new_xyz = pn2.group_points(xyz, idx)                          # (B, S, 3)
         new_mask = jnp.take_along_axis(mask, idx, axis=1)             # (B, S)
 
@@ -121,6 +123,8 @@ class PointNet2MSG(nn.Module):
                 nsamples=list(sa_cfg['NSAMPLE'][k]),
                 mlps=[list(m) for m in sa_cfg['MLPS'][k]],
                 use_xyz=sa_cfg.get('USE_XYZ', True),
+                # chunk-parallel FPS (train-time throughput; exact=1)
+                fps_chunks=int(sa_cfg.get('FPS_CHUNKS', 16)),
             )(l_xyz[k], l_feats[k], l_mask[k], train)
             l_xyz.append(nx)
             l_feats.append(nf)
@@ -165,6 +169,7 @@ class PointNet2MSG_NOFP(nn.Module):
                 nsamples=list(sa_cfg['NSAMPLE'][k]),
                 mlps=[list(m) for m in sa_cfg['MLPS'][k]],
                 use_xyz=sa_cfg.get('USE_XYZ', True),
+                fps_chunks=int(sa_cfg.get('FPS_CHUNKS', 16)),
             )(xyz, feats, mask, train)
 
         batch_dict['point_features'] = feats

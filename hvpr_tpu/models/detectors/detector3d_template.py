@@ -111,22 +111,28 @@ def post_processing(batch_dict, post_cfg, num_class):
 
     multi_class = bool(nms_cfg.get('MULTI_CLASSES_NMS', False))
 
+    post_max = int(nms_cfg['NMS_POST_MAXSIZE'])
+
     def process_one(cls_p, box_p):
         if multi_class:
             boxes, scores, labels, mask = multi_classes_nms(
                 cls_p, box_p, nms_cfg, score_thresh=score_thresh)
-            return boxes, scores, labels, mask
+            return boxes, scores, labels, mask, mask.sum()
         scores = cls_p.max(axis=-1)
         labels = cls_p.argmax(axis=-1) + 1
-        keep_idx, keep_mask = class_agnostic_nms(
+        keep_idx, keep_mask, num_kept = class_agnostic_nms(
             scores, box_p, nms_cfg, score_thresh=score_thresh)
         return (box_p[keep_idx], scores[keep_idx],
-                labels[keep_idx].astype(jnp.int32), keep_mask)
+                labels[keep_idx].astype(jnp.int32), keep_mask, num_kept)
 
-    boxes, scores, labels, mask = jax.vmap(process_one)(cls_preds, box_preds)
+    boxes, scores, labels, mask, num_kept = jax.vmap(process_one)(
+        cls_preds, box_preds)
     out = {
         'pred_boxes': boxes, 'pred_scores': scores,
         'pred_labels': labels, 'pred_mask': mask,
+        # survivors dropped by the NMS_POST_MAXSIZE cap, per sample
+        # (the reference truncates silently; here it is observable)
+        'num_capped': jnp.clip(num_kept - post_max, 0, None),
     }
 
     if 'gt_boxes' in batch_dict and recall_thresh_list:

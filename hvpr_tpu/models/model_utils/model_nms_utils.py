@@ -20,7 +20,7 @@ def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
         box_preds: (A, 7+) boxes.
         nms_config: dict with NMS_THRESH / NMS_PRE_MAXSIZE / NMS_POST_MAXSIZE.
     Returns:
-        keep_idx (post,), keep_mask (post,)
+        keep_idx (post,), keep_mask (post,), num_kept () pre-cap survivor count
     """
     scores = box_scores
     if score_thresh is not None:
@@ -45,7 +45,7 @@ def multi_classes_nms(cls_scores, box_preds, nms_config, score_thresh=None):
         scores_c = cls_scores[:, c]
         if score_thresh is not None:
             scores_c = jnp.where(scores_c >= score_thresh, scores_c, -jnp.inf)
-        keep_idx, keep_mask = nms_bev_fixed(
+        keep_idx, keep_mask, _ = nms_bev_fixed(
             box_preds[:, :7], scores_c, float(nms_config['NMS_THRESH']),
             pre_maxsize=int(nms_config['NMS_PRE_MAXSIZE']),
             post_maxsize=int(nms_config['NMS_POST_MAXSIZE']))

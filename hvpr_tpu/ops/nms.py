@@ -39,6 +39,10 @@ def nms_bev_fixed(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=500):
     Returns:
         keep_idx: (post_maxsize,) indices into the input arrays (padded with 0).
         keep_mask: (post_maxsize,) bool validity of each slot.
+        num_kept: () int32 — total suppression survivors BEFORE the
+            post_maxsize cap; ``num_kept > post_maxsize`` means boxes were
+            dropped by the cap (the reference silently truncates the same
+            way, model_nms_utils.py:23-24 — here it is observable).
     """
     k = min(pre_maxsize, boxes.shape[0])
     if boxes.shape[0] > k:
@@ -80,4 +84,4 @@ def nms_bev_fixed(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=500):
     slot_valid = out_idx < k
     safe = jnp.where(slot_valid, out_idx, 0)
     keep_idx = order[safe]
-    return keep_idx.astype(jnp.int32), slot_valid
+    return keep_idx.astype(jnp.int32), slot_valid, keep.sum().astype(jnp.int32)

@@ -26,36 +26,89 @@ import jax.numpy as jnp
 INF = 1e10
 
 
-@partial(jax.jit, static_argnames=('npoint',))
-def furthest_point_sample(xyz, mask, npoint):
-    """Iterative farthest point sampling.
+def _fps_one(pts, m, npoint):
+    """Exact sequential FPS over one point set: (N, 3), (N,) -> (npoint,)."""
+    # start from the first valid point
+    first = jnp.argmax(m)
+    min_dist = jnp.where(m, INF, -INF)
+
+    def body(i, state):
+        min_d, idxs, last = state
+        d = jnp.sum((pts - pts[last]) ** 2, axis=-1)
+        min_d = jnp.minimum(min_d, jnp.where(m, d, -INF))
+        nxt = jnp.argmax(min_d)
+        idxs = idxs.at[i].set(last)
+        return min_d, idxs, nxt
+
+    idxs = jnp.zeros((npoint,), dtype=jnp.int32)
+    _, idxs, _ = jax.lax.fori_loop(0, npoint, body,
+                                   (min_dist, idxs, first.astype(jnp.int32)))
+    return idxs
+
+
+def _morton2(x, y):
+    """Interleave two 16-bit ints into a 2D Morton (Z-order) code."""
+    def split(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+    return split(x) | (split(y) << 1)
+
+
+@partial(jax.jit, static_argnames=('npoint', 'num_chunks'))
+def furthest_point_sample(xyz, mask, npoint, num_chunks=1):
+    """Farthest point sampling — exact, or chunk-parallel ("serialized") FPS.
+
+    ``num_chunks=1`` is the exact sequential algorithm (the CUDA
+    ``furthest_point_sample`` semantics, reference setup.py:79-109). The
+    sequential dependency makes it latency-bound on TPU (npoint dependent
+    argmax steps), so for ``num_chunks=G > 1`` the points are sorted by a BEV
+    Morton code and split into G equal contiguous chunks; each chunk runs
+    exact FPS for npoint/G samples, all chunks in parallel (vmap). Spatial
+    coherence of the Z-order makes the union a near-farthest sample
+    (fill-distance within ~1.5x of exact — tests/test_fps.py) at ~G x less
+    sequential depth. Invalid points sort last, so they concentrate in the
+    tail chunks and their samples are masked by the caller's index re-gather.
 
     Args:
         xyz: (B, N, 3).
         mask: (B, N) bool validity.
         npoint: static number of samples.
+        num_chunks: static chunk parallelism; must divide N and npoint
+            (auto-reduced otherwise).
     Returns:
         (B, npoint) int32 indices. If fewer than npoint valid points exist,
         indices repeat the farthest remaining valid point.
     """
+    n = xyz.shape[1]
+    g = max(1, num_chunks)
+    while n % g or npoint % g:
+        g //= 2
+    if g <= 1:
+        return jax.vmap(lambda p, m: _fps_one(p, m, npoint))(xyz, mask)
+
     def sample_one(pts, m):
-        n = pts.shape[0]
-        # start from the first valid point
-        first = jnp.argmax(m)
-        min_dist = jnp.where(m, INF, -INF)
+        # quantize BEV coords to 10 bits over the valid extent
+        lo = jnp.min(jnp.where(m[:, None], pts, INF), axis=0)[:2]
+        hi = jnp.max(jnp.where(m[:, None], pts, -INF), axis=0)[:2]
+        span = jnp.clip(hi - lo, 1e-3, None)
+        q = jnp.clip(((pts[:, :2] - lo) / span * 1023.0), 0, 1023).astype(jnp.int32)
+        key = _morton2(q[:, 0], q[:, 1])
+        key = jnp.where(m, key, jnp.int32(2 ** 30))   # invalid last
+        order = jnp.argsort(key)
 
-        def body(i, state):
-            min_d, idxs, last = state
-            d = jnp.sum((pts - pts[last]) ** 2, axis=-1)
-            min_d = jnp.minimum(min_d, jnp.where(m, d, -INF))
-            nxt = jnp.argmax(min_d)
-            idxs = idxs.at[i].set(last)
-            return min_d, idxs, nxt
-
-        idxs = jnp.zeros((npoint,), dtype=jnp.int32)
-        _, idxs, _ = jax.lax.fori_loop(0, npoint, body,
-                                       (min_dist, idxs, first.astype(jnp.int32)))
-        return idxs
+        pts_c = pts[order].reshape(g, n // g, 3)
+        m_c = m[order].reshape(g, n // g)
+        local = jax.vmap(lambda p, mm: _fps_one(p, mm, npoint // g))(pts_c, m_c)
+        base = jnp.arange(g, dtype=jnp.int32)[:, None] * (n // g)
+        idx = order.astype(jnp.int32)[(local + base).reshape(-1)]
+        # invalid points sort last and can fill whole tail chunks; replace
+        # their samples by repeating a valid sample (exact-FPS repeat contract)
+        ok = m[idx]
+        fallback = idx[jnp.argmax(ok)]
+        return jnp.where(ok, idx, fallback)
 
     return jax.vmap(sample_one)(xyz, mask)
 

@@ -16,3 +16,10 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# Persistent compilation cache: the suite is compile-dominated (same jitted
+# programs every run); cached executables cut repeat runs by minutes.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), '.jax_cache')
+jax.config.update('jax_compilation_cache_dir', _CACHE_DIR)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

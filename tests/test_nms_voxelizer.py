@@ -32,7 +32,7 @@ def test_nms_matches_greedy_oracle():
     boxes[:, 6] = rng.uniform(-np.pi, np.pi, size=n)
     scores = rng.uniform(0, 1, size=n).astype(np.float32)
 
-    keep_idx, keep_mask = nms.nms_bev_fixed(
+    keep_idx, keep_mask, _ = nms.nms_bev_fixed(
         jnp.asarray(boxes), jnp.asarray(scores), 0.1, pre_maxsize=256, post_maxsize=100)
     got = list(np.asarray(keep_idx)[np.asarray(keep_mask)])
     want = greedy_nms_oracle(boxes, scores, 0.1)
@@ -47,7 +47,7 @@ def test_nms_with_padding():
     scores = np.full(16, -np.inf, dtype=np.float32)
     scores[0], scores[1], scores[2] = 0.9, 0.8, 0.7
 
-    keep_idx, keep_mask = nms.nms_bev_fixed(
+    keep_idx, keep_mask, _ = nms.nms_bev_fixed(
         jnp.asarray(boxes), jnp.asarray(scores), 0.1, pre_maxsize=16, post_maxsize=8)
     got = list(np.asarray(keep_idx)[np.asarray(keep_mask)])
     assert got == [0, 2]
@@ -133,3 +133,38 @@ def test_voxelizer_point_cap():
         max_voxels=100, max_points_per_voxel=32, grid_size_static=tuple(int(g) for g in gen.grid_size))
     assert int(np.asarray(out['voxel_mask']).sum()) == 1
     assert int(np.asarray(out['voxel_num_points'])[0]) == 32
+
+
+def test_nms_post_maxsize_cap_is_counted():
+    """>post_maxsize disjoint survivors: cap drops the tail but reports it."""
+    n = 24
+    boxes = np.zeros((n, 7), dtype=np.float32)
+    boxes[:, 0] = np.arange(n) * 10.0            # disjoint: nothing suppressed
+    boxes[:, 3:6] = 2.0
+    scores = np.linspace(0.9, 0.1, n).astype(np.float32)
+
+    keep_idx, keep_mask, num_kept = nms.nms_bev_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.1,
+        pre_maxsize=32, post_maxsize=8)
+    assert int(num_kept) == n                    # survivors before the cap
+    kept = np.asarray(keep_idx)[np.asarray(keep_mask)]
+    assert len(kept) == 8                        # capped output
+    # the cap keeps the HIGHEST-scoring survivors
+    assert list(kept) == list(np.arange(8))
+
+
+def test_nms_score_thresh_boundary():
+    """Scores exactly at SCORE_THRESH survive (>= semantics); below do not."""
+    from hvpr_tpu.models.model_utils.model_nms_utils import class_agnostic_nms
+    boxes = np.zeros((4, 7), dtype=np.float32)
+    boxes[:, 0] = np.arange(4) * 10.0
+    boxes[:, 3:6] = 2.0
+    scores = np.array([0.5, 0.1, 0.0999, 0.3], dtype=np.float32)
+
+    keep_idx, keep_mask, num_kept = class_agnostic_nms(
+        jnp.asarray(scores), jnp.asarray(boxes),
+        {'NMS_THRESH': 0.1, 'NMS_PRE_MAXSIZE': 4, 'NMS_POST_MAXSIZE': 4},
+        score_thresh=0.1)
+    kept = sorted(np.asarray(keep_idx)[np.asarray(keep_mask)])
+    assert kept == [0, 1, 3]
+    assert int(num_kept) == 3

@@ -141,6 +141,9 @@ def test_train_then_eval_cli(tmp_path):
     env['XLA_FLAGS'] = env.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
     env['PYTHONPATH'] = f"{REPO}:{env.get('PYTHONPATH', '')}"
     env['HVPR_ROOT_DIR'] = str(tmp_path)
+    # share the persistent compile cache with the test process
+    env['JAX_COMPILATION_CACHE_DIR'] = str(REPO / 'tests' / '.jax_cache')
+    env['JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS'] = '1'
 
     out = subprocess.run(
         [sys.executable, str(REPO / 'tools' / 'train.py'),

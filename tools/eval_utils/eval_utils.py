@@ -72,6 +72,10 @@ def eval_one_epoch(cfg, model, dataloader, epoch_id, logger, dist_test=False,
                 'pred_labels': labels[b][m],
             })
         num_scans += boxes.shape[0]
+        capped = int(np.asarray(out.get('num_capped', 0)).sum())
+        if capped:
+            logger.warning('NMS_POST_MAXSIZE dropped %d surviving boxes '
+                           'in this batch', capped)
 
         annos = dataset.generate_prediction_dicts(
             batch_dict, pred_dicts, class_names,

@@ -107,7 +107,7 @@ def main():
         sync = time.time() - t0
         ms = (total - sync) / n_iter * 1e3
         print(f'{name:<14} {ms:8.2f} ms/batch   '
-              f'{BATCH / ((total - sync) / n_iter):7.1f} scans/s')
+              f'{BATCH / ((total - sync) / n_iter):7.1f} scans/s', flush=True)
 
 
 if __name__ == '__main__':
