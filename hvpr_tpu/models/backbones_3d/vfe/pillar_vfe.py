@@ -18,6 +18,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ....ops.scatter import sorted_segment_max
 from ...model_utils.layers import MaskedBatchNorm
 
 
@@ -44,10 +45,9 @@ class PFNLayer(nn.Module):
         x = nn.relu(x)
 
         if flat_slot is not None:
-            slot = jnp.where(point_mask, flat_slot, num_slots)
-            seg = jnp.full((num_slots + 1, out_ch), -1e9, x.dtype)
-            seg = seg.at[slot].max(x, mode='drop')[:num_slots]
-            seg = jnp.where(seg > -1e8, seg, 0.0)           # empty slots -> 0
+            # sorted-prefix segmented max (see ops/scatter.py) — the direct
+            # XLA scatter-max here cost ~10 ms per layer at batch 16
+            seg = sorted_segment_max(x, flat_slot, point_mask, num_slots)
             if self.last_layer:
                 return seg                                   # (num_slots, C)
             x = jnp.where(point_mask[..., None], x, 0.0)

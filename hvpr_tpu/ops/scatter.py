@@ -17,6 +17,12 @@ import jax.numpy as jnp
 def scatter_to_bev(features, coords, mask, ny, nx):
     """Scatter per-pillar features into a dense BEV image.
 
+    TPU note: a direct wide scatter into the (ny*nx, C) canvas is
+    output-size bound (~40 ms for a 16-scan batch at C=160 — XLA's scatter
+    lowering, measured). Instead the scatter is NARROW — an int32 row-id map
+    (4 bytes/cell) — and the wide canvas is built by a GATHER, which streams
+    at HBM bandwidth (~5 ms for the same shape).
+
     Args:
         features: (B, V, C) pillar features.
         coords: (B, V, 3) int (z, y, x) grid coords.
@@ -31,12 +37,53 @@ def scatter_to_bev(features, coords, mask, ny, nx):
     flat_idx = jnp.where(mask, flat_idx, ny * nx)                # dump slot
 
     def scatter_one(feat, idx):
-        canvas = jnp.zeros((ny * nx + 1, c), dtype=feat.dtype)
-        canvas = canvas.at[idx].set(feat, mode='drop')
-        return canvas[:ny * nx]
+        rowid = jnp.full((ny * nx + 1,), v, dtype=jnp.int32)
+        rowid = rowid.at[idx].set(jnp.arange(v, dtype=jnp.int32),
+                                  mode='drop')[:ny * nx]
+        ok = rowid < v
+        return jnp.where(ok[:, None], feat[jnp.where(ok, rowid, 0)], 0)
 
     canvas = jax.vmap(scatter_one)(features, flat_idx)           # (B, ny*nx, C)
     return canvas.reshape(b, ny, nx, c)
+
+
+def sorted_segment_max(x, slot, write, num_slots, max_seg=32):
+    """Max-reduce rows into slots, exploiting the voxelizer's flat layout.
+
+    Requires the :func:`hvpr_tpu.ops.voxelizer.voxelize_batch_flat`
+    invariants: rows sorted by slot, each slot's valid (``write``) rows
+    forming a contiguous prefix of at most ``max_seg`` rows. The reduction
+    is then log2(max_seg) masked shifted-max passes (pure streaming VPU
+    work) plus one gather of each segment's last valid row — replacing an
+    XLA scatter-max that costs ~10 ms per pass at (262k, 64) (measured).
+
+    Args:
+        x: (R, C) rows.
+        slot: (R,) int32 slot per row (any value where ``write`` is False).
+        write: (R,) bool row validity.
+        num_slots: static output row count.
+        max_seg: static max valid rows per slot.
+    Returns:
+        (num_slots, C) per-slot maxima; empty slots are 0.
+    """
+    r, c = x.shape
+    neg = jnp.asarray(-1e9, x.dtype)
+    safe_slot = jnp.where(write, slot, num_slots)
+    y = jnp.where(write[:, None], x, neg)
+
+    d = 1
+    while d < max_seg:
+        same = safe_slot[d:] == safe_slot[:-d]
+        shifted = jnp.where(same[:, None], y[:-d], neg)
+        y = jnp.concatenate([y[:d], jnp.maximum(y[d:], shifted)], axis=0)
+        d *= 2
+
+    # each slot's max now sits at its LAST valid row
+    last = jnp.full((num_slots + 1,), -1, dtype=jnp.int32)
+    last = last.at[safe_slot].max(jnp.arange(r, dtype=jnp.int32),
+                                  mode='drop')[:num_slots]
+    seg = y[jnp.clip(last, 0, r - 1)]
+    return jnp.where((last >= 0)[:, None], seg, 0.0)
 
 
 @jax.jit
