@@ -18,17 +18,22 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ....ops.scatter import sorted_segment_max
-from ...model_utils.layers import MaskedBatchNorm
+from ....ops.scatter import (segment_broadcast_max_t, segment_last_row,
+                             segment_sums_t)
+from ...model_utils.layers import DenseT, MaskedBatchNorm
 
 
 class PFNLayer(nn.Module):
     """Linear -> (masked) BN -> ReLU -> max-pool over points-in-pillar.
 
-    Two input layouts share the same parameters:
-      * padded: inputs (B, V, P, C) + point_mask (B, V, P),
-      * flat: inputs (R, C) + point_mask (R,) + flat_slot (R,) pillar-slot ids
-        + num_slots — the max-pool becomes a small scatter-max over slots.
+    Two input layouts share the same parameters (checkpoint-compatible):
+      * padded: inputs (B, V, P, C) + point_mask (B, V, P);
+      * flat (channel-major): inputs (C, R) + point_mask (R,) + safe_slot
+        (R,) sentinel-carrying slot ids — the max-pool is a gather-free
+        doubling-scan broadcast (ops/scatter.segment_broadcast_max_t), and
+        every op is lane-aligned along the long row axis (a row-major
+        (R, <=64) layout tile-pads the minor dim to 128 lanes: up to 12.8x
+        HBM waste, ~25 ms per batch, measured).
     """
 
     out_channels: int
@@ -39,21 +44,26 @@ class PFNLayer(nn.Module):
     def __call__(self, inputs, point_mask, train: bool,
                  flat_slot=None, num_slots=None):
         out_ch = self.out_channels if self.last_layer else self.out_channels // 2
+
+        if flat_slot is not None:
+            # channel-major flat path: inputs (C_in, R), flat_slot = safe slot
+            x = DenseT(out_ch, use_bias=not self.use_norm,
+                       name='Dense_0')(inputs)                # (out, R)
+            if self.use_norm:
+                x = MaskedBatchNorm()(x, point_mask, train, transposed=True)
+            x = nn.relu(x)
+            xm = jnp.where(point_mask[None, :], x, -1e9)
+            seg = segment_broadcast_max_t(xm, flat_slot)      # (out, R) per-row max
+            seg = jnp.where(point_mask[None, :], seg, 0.0)
+            if self.last_layer:
+                return seg
+            x = jnp.where(point_mask[None, :], x, 0.0)
+            return jnp.concatenate([x, seg], axis=0)          # (2*out, R)
+
         x = nn.Dense(out_ch, use_bias=not self.use_norm)(inputs)
         if self.use_norm:
             x = MaskedBatchNorm()(x, point_mask, train)
         x = nn.relu(x)
-
-        if flat_slot is not None:
-            # sorted-prefix segmented max (see ops/scatter.py) — the direct
-            # XLA scatter-max here cost ~10 ms per layer at batch 16
-            seg = sorted_segment_max(x, flat_slot, point_mask, num_slots)
-            if self.last_layer:
-                return seg                                   # (num_slots, C)
-            x = jnp.where(point_mask[..., None], x, 0.0)
-            return jnp.concatenate([x, seg[jnp.clip(flat_slot, 0, num_slots - 1)]],
-                                   axis=-1)
-
         x = jnp.where(point_mask[..., None], x, -1e9)
         x_max = x.max(axis=2, keepdims=True)               # (B, V, 1, C)
         x_max = jnp.where(x_max > -1e8, x_max, 0.0)        # fully-empty pillars -> 0
@@ -101,44 +111,43 @@ def decorate_pillar_features(voxels, num_points, coords, voxel_size, point_cloud
 
 def decorate_flat_features(batch_dict, voxel_size, point_cloud_range,
                            use_absolute_xyz=True, with_distance=False):
-    """Flat-layout decoration: per-point rows (R, C_dec) + pillar means.
+    """Flat-layout decoration, channel-major: (C_dec, R) rows.
 
-    Consumes voxelize_batch_flat outputs (flat_points/flat_slot/flat_write +
-    counts/coords); no (B, V, P, C) tensor is ever built.
+    Consumes voxelize_batch_flat outputs (flat_points (C, R) / flat_slot /
+    flat_write + counts). Gather-free: per-row pillar means come from two
+    doubling-scan sweeps (ops/scatter.segment_sums_t) and the pillar center
+    is recomputed from the point's own grid cell (the identical floor() the
+    voxelizer used) instead of a coords gather-back.
+
+    Returns:
+        features_t (C_dec, R), safe_slot (R,) sentinel-carrying slot ids,
+        sums_t (3, R) per-row full xyz segment sums (for the scale stream).
     """
-    pts = batch_dict['flat_points']                  # (R, C_raw)
+    pts_t = batch_dict['flat_points']                # (C_raw, R)
     slot = batch_dict['flat_slot']                   # (R,)
     write = batch_dict['flat_write']                 # (R,)
     counts = batch_dict['voxel_num_points']          # (B, V)
-    coords = batch_dict['voxel_coords']              # (B, V, 3)
     b, v = counts.shape
     num_slots = b * v
 
-    vx, vy, vz = voxel_size
-    x0, y0, z0 = point_cloud_range[0:3]
+    vsz = jnp.asarray(voxel_size, dtype=pts_t.dtype)[:, None]       # (3, 1)
+    origin = jnp.asarray(point_cloud_range[0:3], dtype=pts_t.dtype)[:, None]
 
     safe_slot = jnp.where(write, slot, num_slots)
-    sums = jnp.zeros((num_slots + 1, 3), dtype=pts.dtype)
-    sums = sums.at[safe_slot].add(pts[:, :3] * write[:, None], mode='drop')[:num_slots]
-    cnt = jnp.clip(counts.reshape(-1, 1).astype(pts.dtype), 1.0, None)
-    means = sums / cnt                               # (B*V, 3)
+    xyz_t = pts_t[:3]
+    sums_t = segment_sums_t(jnp.where(write[None, :], xyz_t, 0.0), safe_slot)
+    cnt_row = segment_sums_t(write[None, :].astype(pts_t.dtype), safe_slot)
+    means_t = sums_t / jnp.clip(cnt_row, 1.0, None)                 # (3, R)
+    f_cluster = xyz_t - means_t
 
-    gslot = jnp.clip(slot, 0, num_slots - 1)
-    f_cluster = pts[:, :3] - means[gslot]
+    cell = jnp.floor((xyz_t - origin) / vsz)
+    f_center = xyz_t - (cell * vsz + vsz / 2 + origin)
 
-    coords_flat = coords.reshape(-1, 3)
-    center = jnp.stack([
-        coords_flat[gslot, 2].astype(pts.dtype) * vx + (vx / 2 + x0),
-        coords_flat[gslot, 1].astype(pts.dtype) * vy + (vy / 2 + y0),
-        coords_flat[gslot, 0].astype(pts.dtype) * vz + (vz / 2 + z0),
-    ], axis=-1)
-    f_center = pts[:, :3] - center
-
-    parts = [pts if use_absolute_xyz else pts[:, 3:], f_cluster, f_center]
+    parts = [pts_t if use_absolute_xyz else pts_t[3:], f_cluster, f_center]
     if with_distance:
-        parts.append(jnp.linalg.norm(pts[:, :3], axis=-1, keepdims=True))
-    features = jnp.concatenate(parts, axis=-1) * write[:, None]
-    return features, means.reshape(b, v, 3)
+        parts.append(jnp.linalg.norm(xyz_t, axis=0, keepdims=True))
+    features_t = jnp.concatenate(parts, axis=0) * write[None, :]
+    return features_t, safe_slot, sums_t
 
 
 class PillarVFE(nn.Module):
@@ -158,18 +167,22 @@ class PillarVFE(nn.Module):
         use_norm = self.model_cfg.get('USE_NORM', True)
 
         if 'flat_points' in batch_dict:
-            features, _ = decorate_flat_features(
+            features_t, safe_slot, _ = decorate_flat_features(
                 batch_dict, self.voxel_size, self.point_cloud_range,
                 use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
                 with_distance=self.model_cfg.get('WITH_DISTANCE', False))
             b, v = batch_dict['voxel_num_points'].shape
             write = batch_dict['flat_write']
             for i, out_ch in enumerate(num_filters):
-                features = PFNLayer(out_ch, use_norm,
-                                    last_layer=(i == len(num_filters) - 1))(
-                    features, write, train,
-                    flat_slot=batch_dict['flat_slot'], num_slots=b * v)
-            features = features.reshape(b, v, -1)
+                features_t = PFNLayer(out_ch, use_norm,
+                                      last_layer=(i == len(num_filters) - 1))(
+                    features_t, write, train,
+                    flat_slot=safe_slot, num_slots=b * v)
+            # one lane gather extracts each slot's (broadcast) max
+            last = segment_last_row(safe_slot, b * v)
+            cols = features_t[:, jnp.clip(last, 0, None)]
+            cols = jnp.where((last >= 0)[None, :], cols, 0.0)
+            features = cols.T.reshape(b, v, -1)
         else:
             features, point_mask, _ = decorate_pillar_features(
                 batch_dict['voxels'], batch_dict['voxel_num_points'],
@@ -209,18 +222,27 @@ class PillarVFE_Scale(nn.Module):
 
         if 'flat_points' in batch_dict:
             # flat path (device voxelization, no (B, V, P, C) materialization)
-            features, points_mean = decorate_flat_features(
+            features_t, safe_slot, sums_t = decorate_flat_features(
                 batch_dict, self.voxel_size, self.point_cloud_range,
                 use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
                 with_distance=self.model_cfg.get('WITH_DISTANCE', False))
             b, v = batch_dict['voxel_num_points'].shape
             write = batch_dict['flat_write']
             for i, out_ch in enumerate(num_filters):
-                features = PFNLayer(out_ch, use_norm,
-                                    last_layer=(i == len(num_filters) - 1))(
-                    features, write, train,
-                    flat_slot=batch_dict['flat_slot'], num_slots=b * v)
-            features = features.reshape(b, v, -1)
+                features_t = PFNLayer(out_ch, use_norm,
+                                      last_layer=(i == len(num_filters) - 1))(
+                    features_t, write, train,
+                    flat_slot=safe_slot, num_slots=b * v)
+            # ONE lane gather extracts pillar features AND xyz sums per slot
+            last = segment_last_row(safe_slot, b * v)
+            src = jnp.concatenate([features_t, sums_t], axis=0)
+            cols = src[:, jnp.clip(last, 0, None)]
+            cols = jnp.where((last >= 0)[None, :], cols, 0.0)
+            features = cols[:-3].T.reshape(b, v, -1)
+            cnt = jnp.clip(
+                batch_dict['voxel_num_points'].reshape(1, -1).astype(
+                    cols.dtype), 1.0, None)
+            points_mean = (cols[-3:] / cnt).T.reshape(b, v, 3)
         else:
             features, point_mask, points_mean = decorate_pillar_features(
                 batch_dict['voxels'], batch_dict['voxel_num_points'],
@@ -234,16 +256,22 @@ class PillarVFE_Scale(nn.Module):
                     features, point_mask, train)
             batch_dict['pillar_point_mask'] = point_mask
 
-        # scale stream: (num_points, ||mean||, mean_xyz) -> MLP
-        voxel_mask = batch_dict['voxel_num_points'] > 0
-        d_mean = jnp.linalg.norm(points_mean, axis=-1, keepdims=True)   # (B, V, 1)
-        scale = jnp.concatenate([
-            batch_dict['voxel_num_points'][..., None].astype(features.dtype),
-            d_mean, points_mean], axis=-1)                              # (B, V, 5)
-        for out_ch in list(self.model_cfg['NUM_SCALE_FEATURES']):
-            scale = nn.Dense(out_ch, use_bias=False)(scale)
-            scale = MaskedBatchNorm()(scale, voxel_mask, train)
-            scale = nn.relu(scale)
+        # scale stream: (num_points, ||mean||, mean_xyz) -> MLP,
+        # channel-major (C, B*V): 5-wide rows would tile-pad to 128 lanes
+        voxel_mask = batch_dict['voxel_num_points'].reshape(-1) > 0
+        b, v = batch_dict['voxel_num_points'].shape
+        means_t = points_mean.reshape(-1, 3).T                          # (3, B*V)
+        d_mean = jnp.linalg.norm(means_t, axis=0, keepdims=True)        # (1, B*V)
+        scale_t = jnp.concatenate([
+            batch_dict['voxel_num_points'].reshape(1, -1).astype(features.dtype),
+            d_mean, means_t], axis=0)                                   # (5, B*V)
+        for i, out_ch in enumerate(list(self.model_cfg['NUM_SCALE_FEATURES'])):
+            scale_t = DenseT(out_ch, use_bias=False,
+                             name=f'Dense_{i}')(scale_t)
+            scale_t = MaskedBatchNorm()(scale_t, voxel_mask, train,
+                                        transposed=True)
+            scale_t = nn.relu(scale_t)
+        scale = scale_t.T.reshape(b, v, -1)
 
         batch_dict['pillar_features'] = features
         batch_dict['pillar_scale_features'] = scale

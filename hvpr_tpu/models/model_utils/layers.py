@@ -20,34 +20,70 @@ import jax.numpy as jnp
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over the last axis with statistics from masked elements only."""
+    """BatchNorm over the channel axis with statistics from masked elements only.
+
+    ``transposed=True`` accepts channel-major (C, R) inputs (the flat-VFE
+    lane-aligned layout) with identical parameters/statistics — so the two
+    layouts share checkpoints.
+    """
 
     momentum: float = 0.99
     epsilon: float = 1e-3
 
     @nn.compact
-    def __call__(self, x, mask, train: bool):
-        """x: (..., C); mask: broadcastable to x[..., 0] (bool); train: use batch stats."""
-        features = x.shape[-1]
+    def __call__(self, x, mask, train: bool, transposed: bool = False):
+        """x: (..., C) or (C, R) if transposed; mask: bool over non-channel dims."""
+        features = x.shape[0] if transposed else x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean', lambda: jnp.zeros((features,)))
         ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones((features,)))
         scale = self.param('scale', nn.initializers.ones, (features,))
         bias = self.param('bias', nn.initializers.zeros, (features,))
 
         if train:
-            m = mask.astype(x.dtype)[..., None]
-            count = jnp.clip(m.sum(), 1.0, None)
-            reduce_axes = tuple(range(x.ndim - 1))
-            mean = (x * m).sum(axis=reduce_axes) / count
-            var = ((x - mean) ** 2 * m).sum(axis=reduce_axes) / count
+            if transposed:
+                m = mask.astype(x.dtype)[None, :]
+                count = jnp.clip(m.sum(), 1.0, None)
+                mean = (x * m).sum(axis=1) / count
+                var = ((x - mean[:, None]) ** 2 * m).sum(axis=1) / count
+            else:
+                m = mask.astype(x.dtype)[..., None]
+                count = jnp.clip(m.sum(), 1.0, None)
+                reduce_axes = tuple(range(x.ndim - 1))
+                mean = (x * m).sum(axis=reduce_axes) / count
+                var = ((x - mean) ** 2 * m).sum(axis=reduce_axes) / count
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
 
+        if transposed:
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            return (x - mean[:, None]) * (inv * scale)[:, None] + bias[:, None]
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y * scale + bias
+
+
+class DenseT(nn.Module):
+    """Dense layer applied to channel-major (C_in, R) inputs.
+
+    Parameter-compatible with ``nn.Dense`` (kernel (in, out), same init) —
+    instantiate with ``name='Dense_N'`` to share a checkpoint slot with the
+    row-major path.
+    """
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x_t):
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (x_t.shape[0], self.features))
+        y = jnp.einsum('io,ir->or', kernel, x_t)
+        if self.use_bias:
+            y = y + self.param('bias', nn.initializers.zeros,
+                               (self.features,))[:, None]
+        return y
 
 
 class ConvBNReLU(nn.Module):

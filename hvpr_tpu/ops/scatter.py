@@ -47,6 +47,76 @@ def scatter_to_bev(features, coords, mask, ny, nx):
     return canvas.reshape(b, ny, nx, c)
 
 
+def segment_broadcast_max_t(x_t, safe_slot, max_seg=32):
+    """Per-row segment max in channel-major layout, no gathers.
+
+    Same flat-layout invariants as :func:`sorted_segment_max` (contiguous
+    valid prefixes of <= ``max_seg`` rows; ``safe_slot`` must already carry a
+    sentinel on invalid rows and ``x_t`` -1e9 there). Two masked
+    doubling-scan sweeps — a forward running max then a reverse running max
+    of it — leave EVERY row holding its segment's max, so the result can be
+    consumed in row space (layer-to-layer concat) or extracted at any row of
+    the segment. All passes are lane-aligned streaming VPU work.
+
+    Args:
+        x_t: (C, R) rows channel-major, invalid rows at -1e9.
+        safe_slot: (R,) int32 slot ids, sentinel on invalid rows.
+    Returns:
+        (C, R) with every row replaced by its segment's max.
+    """
+    neg = jnp.asarray(-1e9, x_t.dtype)
+
+    def sweep(y, reverse):
+        d = 1
+        while d < max_seg:
+            if reverse:
+                same = (safe_slot[:-d] == safe_slot[d:])[None, :]
+                nxt = jnp.where(same, y[:, d:], neg)
+                y = jnp.concatenate([jnp.maximum(y[:, :-d], nxt), y[:, -d:]],
+                                    axis=1)
+            else:
+                same = (safe_slot[d:] == safe_slot[:-d])[None, :]
+                prv = jnp.where(same, y[:, :-d], neg)
+                y = jnp.concatenate([y[:, :d], jnp.maximum(y[:, d:], prv)],
+                                    axis=1)
+            d *= 2
+        return y
+
+    return sweep(sweep(x_t, reverse=False), reverse=True)
+
+
+def segment_sums_t(x_t, safe_slot, max_seg=32):
+    """Per-row FULL segment sum in channel-major layout (no gathers).
+
+    ``full[i] = prefix_incl[i] + suffix_incl[i] - x[i]`` with both scans as
+    masked doubling sweeps (same invariants as segment_broadcast_max_t;
+    invalid rows must carry x = 0 and a sentinel slot).
+    """
+    def sweep(y, reverse):
+        d = 1
+        while d < max_seg:
+            if reverse:
+                same = (safe_slot[:-d] == safe_slot[d:])[None, :]
+                nxt = jnp.where(same, y[:, d:], 0.0)
+                y = jnp.concatenate([y[:, :-d] + nxt, y[:, -d:]], axis=1)
+            else:
+                same = (safe_slot[d:] == safe_slot[:-d])[None, :]
+                prv = jnp.where(same, y[:, :-d], 0.0)
+                y = jnp.concatenate([y[:, :d], y[:, d:] + prv], axis=1)
+            d *= 2
+        return y
+
+    return sweep(x_t, False) + sweep(x_t, True) - x_t
+
+
+def segment_last_row(safe_slot, num_slots):
+    """Index of each slot's last valid row: (num_slots,) int32, -1 if empty."""
+    r = safe_slot.shape[0]
+    last = jnp.full((num_slots + 1,), -1, dtype=jnp.int32)
+    return last.at[safe_slot].max(jnp.arange(r, dtype=jnp.int32),
+                                  mode='drop')[:num_slots]
+
+
 def sorted_segment_max(x, slot, write, num_slots, max_seg=32):
     """Max-reduce rows into slots, exploiting the voxelizer's flat layout.
 

@@ -132,7 +132,10 @@ def _voxelize_batch_core(points, point_mask, point_cloud_range, voxel_size,
         (flat_key, iota, flat_valid) + tuple(flat_points[:, i] for i in range(c)),
         num_keys=2)
     skey, _, svalid = operands[0], operands[1], operands[2]
-    spoints = jnp.stack(operands[3:], axis=-1)
+    # keep the sorted point rows CHANNEL-MAJOR (C, B*N): every flat-path op
+    # is then lane-aligned along the long row axis instead of tile-padding a
+    # <=10-wide minor dim to 128 lanes (12.8x HBM waste, measured)
+    spoints_t = jnp.stack(operands[3:], axis=0)
 
     total = b * n
     head = svalid & jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
@@ -165,7 +168,7 @@ def _voxelize_batch_core(points, point_mask, point_cloud_range, voxel_size,
     coords = coords[:-1].reshape(b, max_voxels, 3)
 
     return {
-        'sorted_points': spoints,        # (B*N, C) sorted by (batch, pillar)
+        'sorted_points_t': spoints_t,    # (C, B*N) sorted by (batch, pillar)
         'flat_slot': slot,               # (B*N,) b*V + v (garbage where not write)
         'flat_write': write,             # (B*N,) bool
         'pos_in_voxel': pos_in_voxel,
@@ -191,7 +194,7 @@ def voxelize_batch_jax(points, point_mask, point_cloud_range, voxel_size,
                          core['flat_slot'] * max_points_per_voxel + core['pos_in_voxel'],
                          b * max_voxels * max_points_per_voxel)
     voxels = jnp.zeros((b * max_voxels * max_points_per_voxel + 1, c), dtype=points.dtype)
-    voxels = voxels.at[flat_idx].set(core['sorted_points'], mode='drop')
+    voxels = voxels.at[flat_idx].set(core['sorted_points_t'].T, mode='drop')
     voxels = voxels[:-1].reshape(b, max_voxels, max_points_per_voxel, c)
     return {
         'voxels': voxels,
@@ -215,7 +218,7 @@ def voxelize_batch_flat(points, point_mask, point_cloud_range, voxel_size,
     core = _voxelize_batch_core(points, point_mask, point_cloud_range, voxel_size,
                                 max_voxels, max_points_per_voxel, grid_size_static)
     return {
-        'flat_points': core['sorted_points'],
+        'flat_points': core['sorted_points_t'],   # (C, B*N) channel-major
         'flat_slot': core['flat_slot'],
         'flat_write': core['flat_write'],
         'voxel_coords': core['voxel_coords'],
