@@ -21,8 +21,17 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ....ops.bev_canvas import canvas_from_sorted
 from ....ops.scatter import scatter_to_bev
 from .memory_module import MemoryUnitAgg
+
+
+def _build_canvas(features, coords, mask, ny, nx, cells_sorted):
+    """Sorted device-path pillars use the Pallas tile-window canvas kernel;
+    host-voxelized (first-occurrence order) pillars use the generic scatter."""
+    if cells_sorted:
+        return canvas_from_sorted(features, coords, mask, ny, nx)
+    return scatter_to_bev(features, coords, mask, ny, nx)
 
 
 class PointPillarScatter(nn.Module):
@@ -35,8 +44,9 @@ class PointPillarScatter(nn.Module):
     def __call__(self, batch_dict, train: bool = False):
         nx, ny, nz = (int(g) for g in self.grid_size)
         assert nz == 1
-        bev = scatter_to_bev(batch_dict['pillar_features'], batch_dict['voxel_coords'],
-                             batch_dict['voxel_mask'], ny, nx)
+        bev = _build_canvas(batch_dict['pillar_features'], batch_dict['voxel_coords'],
+                            batch_dict['voxel_mask'], ny, nx,
+                            cells_sorted='flat_points' in batch_dict and not train)
         batch_dict['spatial_features'] = bev
         return batch_dict
 
@@ -147,7 +157,8 @@ class PointPillarScatterAggMemory1Scale(nn.Module):
             mem = self.memory.eval_forward(pillars, k, mode=self.topk_mode)
             # one fused canvas write for [pillar | memory | scale] channels
             fused = jnp.concatenate([pillars, mem['output'], scale], axis=-1)
-            canvas = scatter_to_bev(fused, coords, vmask, ny, nx)
+            canvas = _build_canvas(fused, coords, vmask, ny, nx,
+                                   cells_sorted='flat_points' in batch_dict)
             c_main = pillars.shape[-1] + mem['output'].shape[-1]
             batch_dict['spatial_features'] = canvas[..., :c_main]
             batch_dict['spatial_scale_features'] = canvas[..., c_main:]

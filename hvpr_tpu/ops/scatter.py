@@ -40,8 +40,11 @@ def scatter_to_bev(features, coords, mask, ny, nx):
         rowid = jnp.full((ny * nx + 1,), v, dtype=jnp.int32)
         rowid = rowid.at[idx].set(jnp.arange(v, dtype=jnp.int32),
                                   mode='drop')[:ny * nx]
-        ok = rowid < v
-        return jnp.where(ok[:, None], feat[jnp.where(ok, rowid, 0)], 0)
+        # empty cells point at an appended zero row — the masking happens
+        # inside the gather itself (a separate where pass re-streams the
+        # whole 750 MB canvas)
+        feat_ext = jnp.concatenate([feat, jnp.zeros((1, c), feat.dtype)], 0)
+        return feat_ext[rowid]
 
     canvas = jax.vmap(scatter_one)(features, flat_idx)           # (B, ny*nx, C)
     return canvas.reshape(b, ny, nx, c)
