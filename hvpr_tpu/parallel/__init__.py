@@ -83,7 +83,11 @@ def make_train_step(module, tx, mesh=None, donate=True):
         metrics['grad_norm'] = optax_global_norm(grads)
         return new_state, metrics
 
-    if mesh is None:
+    if mesh is None or np.prod(mesh.devices.shape) == 1:
+        # single chip: explicit NamedShardings force per-call input
+        # resharding through the runtime — measured 19.5 s vs 1.15 s per
+        # identical train step on the axon tunnel. Shardings only help (and
+        # only apply) on real multi-device meshes.
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     repl = replicated(mesh)
