@@ -1,5 +1,7 @@
 from .pointnet2_backbone import PointNet2MSG, PointNet2MSG_NOFP
-from .spconv_backbone import UNetV2, VoxelBackBone8x, VoxelResBackBone8x
+from .sparse_backbone import VoxelBackBone8xSparse
+from .spconv_backbone import (UNetV2, VoxelBackBone8x as VoxelBackBone8xDense,
+                              VoxelResBackBone8x)
 
 
 class PointNet2Backbone:
@@ -20,8 +22,11 @@ __all__ = {
     'PointNet2MSG': PointNet2MSG,
     'PointNet2MSG_NOFP': PointNet2MSG_NOFP,
     'PointNet2Backbone': PointNet2Backbone,
-    'VoxelBackBone8x': VoxelBackBone8x,
+    # true sparse convs (reference spconv semantics, production grids)
+    'VoxelBackBone8x': VoxelBackBone8xSparse,
+    # dense NDHWC fallback (exact, coarse grids only)
+    'VoxelBackBone8xDense': VoxelBackBone8xDense,
     'VoxelResBackBone8x': VoxelResBackBone8x,
-    'VoxelBackBone8x_voxelrcnn': VoxelBackBone8x,
+    'VoxelBackBone8x_voxelrcnn': VoxelBackBone8xSparse,
     'UNetV2': UNetV2,
 }

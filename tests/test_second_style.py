@@ -1,4 +1,4 @@
-"""SECOND-style pipeline: MeanVFE + dense VoxelBackBone8x + HeightCompression."""
+"""SECOND-style pipeline: MeanVFE + sparse VoxelBackBone8x + HeightCompression."""
 
 import jax
 import numpy as np
@@ -23,7 +23,8 @@ def test_second_pipeline_forward():
     del cfg['BACKBONE_3D']
     cfg['NAME'] = 'PointPillar'
     cfg['VFE'] = ConfigDict({'NAME': 'MeanVFE'})
-    cfg['BACKBONE_3D'] = ConfigDict({'NAME': 'VoxelBackBone8x'})
+    cfg['BACKBONE_3D'] = ConfigDict({'NAME': 'VoxelBackBone8x',
+                                 'OUT_CHANNELS': 64})
     cfg['MAP_TO_BEV'] = ConfigDict({'NAME': 'HeightCompression', 'NUM_BEV_FEATURES': 64})
     cfg['BACKBONE_2D']['NAME'] = 'BaseBEVBackbone'
     # height-compressed map is at stride 8; backbone adds another 2x

@@ -1,0 +1,127 @@
+"""Sparse 3D conv ops vs dense-convolution oracles.
+
+Submanifold conv must equal a dense conv evaluated AT the active sites
+(inactive neighbors contribute zero either way); the strided sparse conv
+must produce exactly the decimated cells whose receptive field touches an
+active input, with dense-conv values there.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hvpr_tpu.ops.sparse_conv import sparse_conv3d_downsample, subm_conv3d
+
+GRID = (5, 12, 10)  # nz, ny, nx
+
+
+def _random_sites(rng, v, n_active, c_in):
+    nz, ny, nx = GRID
+    cells = rng.choice(nz * ny * nx, n_active, replace=False)
+    cells.sort()
+    coords = np.zeros((v, 3), np.int32)
+    coords[:n_active, 0] = cells // (ny * nx)
+    coords[:n_active, 1] = (cells // nx) % ny
+    coords[:n_active, 2] = cells % nx
+    valid = np.zeros(v, bool)
+    valid[:n_active] = True
+    feats = rng.normal(size=(v, c_in)).astype(np.float32)
+    feats[~valid] = 0
+    return feats, coords, valid
+
+
+def _densify(feats, coords, valid):
+    nz, ny, nx = GRID
+    dense = np.zeros((nz, ny, nx, feats.shape[1]), np.float32)
+    for i in np.flatnonzero(valid):
+        dense[coords[i, 0], coords[i, 1], coords[i, 2]] = feats[i]
+    return dense
+
+
+def _dense_conv(dense, w, stride=1):
+    # w: (27, cin, cout) raster (dz, dy, dx) -> DHWIO
+    k = round(len(w) ** (1 / 3))
+    kernel = np.asarray(w).reshape(k, k, k, w.shape[1], w.shape[2])
+    return jax.lax.conv_general_dilated(
+        jnp.asarray(dense[None]), jnp.asarray(kernel),
+        window_strides=(stride,) * 3, padding=((1, 1),) * 3,
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))[0]
+
+
+def test_subm_conv_matches_dense_at_active_sites():
+    rng = np.random.default_rng(0)
+    c_in, c_out = 4, 6
+    feats, coords, valid = _random_sites(rng, v=64, n_active=50, c_in=c_in)
+    w = rng.normal(size=(27, c_in, c_out)).astype(np.float32)
+
+    got = np.asarray(subm_conv3d(
+        jnp.asarray(feats[None]), jnp.asarray(coords[None]),
+        jnp.asarray(valid[None]), jnp.asarray(w), GRID))[0]
+
+    want = np.asarray(_dense_conv(_densify(feats, coords, valid), w))
+    for i in np.flatnonzero(valid):
+        np.testing.assert_allclose(
+            got[i], want[coords[i, 0], coords[i, 1], coords[i, 2]],
+            rtol=1e-4, atol=1e-4)
+    assert (got[~valid] == 0).all()
+
+
+def test_sparse_downsample_matches_dense_strided_conv():
+    rng = np.random.default_rng(1)
+    c_in, c_out = 3, 5
+    feats, coords, valid = _random_sites(rng, v=48, n_active=40, c_in=c_in)
+    w = rng.normal(size=(27, c_in, c_out)).astype(np.float32)
+
+    of, oc, om = sparse_conv3d_downsample(
+        jnp.asarray(feats[None]), jnp.asarray(coords[None]),
+        jnp.asarray(valid[None]), jnp.asarray(w), GRID, stride=2,
+        max_out=192)
+    of, oc, om = (np.asarray(x)[0] for x in (of, oc, om))
+
+    dense = _densify(feats, coords, valid)
+    want = np.asarray(_dense_conv(dense, w, stride=2))
+
+    # active output sites: stride-2 cells whose 3x3x3 field has any input
+    nz, ny, nx = GRID
+    expected = set()
+    for i in np.flatnonzero(valid):
+        z, y, x = coords[i]
+        for oz in range((z - 1 + 1) // 2, z // 2 + 2):
+            for oy in range((y - 1 + 1) // 2, y // 2 + 2):
+                for ox in range((x - 1 + 1) // 2, x // 2 + 2):
+                    if (0 <= oz * 2 + 1 and abs(z - 2 * oz) <= 1
+                            and abs(y - 2 * oy) <= 1 and abs(x - 2 * ox) <= 1
+                            and 0 <= oz < -(-nz // 2) and 0 <= oy < -(-ny // 2)
+                            and 0 <= ox < -(-nx // 2)):
+                        expected.add((oz, oy, ox))
+
+    got_sites = {tuple(oc[i]) for i in np.flatnonzero(om)}
+    assert got_sites == expected
+
+    for i in np.flatnonzero(om):
+        z, y, x = oc[i]
+        np.testing.assert_allclose(of[i], want[z, y, x], rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_backbone_shapes():
+    from hvpr_tpu.models.backbones_3d.sparse_backbone import VoxelBackBone8xSparse
+    rng = np.random.default_rng(2)
+    b, v, p = 2, 32, 4
+    nz, ny, nx = 8, 16, 16
+    bd = {
+        'voxels': jnp.asarray(rng.normal(size=(b, v, p, 4)).astype(np.float32)),
+        'voxel_num_points': jnp.asarray(rng.integers(1, p, (b, v)).astype(np.int32)),
+        'voxel_coords': jnp.asarray(np.stack([
+            rng.integers(0, nz, (b, v)), rng.integers(0, ny, (b, v)),
+            rng.integers(0, nx, (b, v))], axis=-1).astype(np.int32)),
+        'voxel_mask': jnp.ones((b, v), bool),
+    }
+    bb = VoxelBackBone8xSparse(model_cfg={'OUT_CHANNELS': 32},
+                               input_channels=4, grid_size=(nx, ny, nz))
+    vs = bb.init(jax.random.PRNGKey(0), bd, train=False)
+    out = bb.apply(vs, bd, train=False)
+    enc = out['encoded_spconv_tensor']
+    assert enc.shape == (b, 1, 2, 2, 32)
+    assert out['encoded_spconv_tensor_stride'] == 8
+    assert np.isfinite(np.asarray(enc)).all()
