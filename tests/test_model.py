@@ -172,6 +172,7 @@ def test_train_forward(built):
     assert new_stats  # batch stats were updated
 
 
+@pytest.mark.slow
 def test_train_grads_finite(built):
     net, batch = built
 

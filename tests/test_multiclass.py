@@ -5,6 +5,7 @@ import copy
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hvpr_tpu.config import ConfigDict
 from tests.test_model import TINY_GRID, tiny_model_cfg, make_batch, _FakeDataset
@@ -71,6 +72,7 @@ def _run(head_name):
     return out
 
 
+@pytest.mark.slow
 def test_anchor_head_single_multiclass():
     _run('AnchorHeadSingle')
 

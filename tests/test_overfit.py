@@ -12,6 +12,7 @@ is still asserted).
 
 import jax
 import numpy as np
+import pytest
 
 from hvpr_tpu.config import ConfigDict
 from tests.test_model import tiny_model_cfg, make_batch, _FakeDataset
@@ -66,6 +67,7 @@ def test_overfit_pointpillar_detects_gt():
     assert int(out['recall']['rcnn_0.3']) >= 3, dict(out['recall'])
 
 
+@pytest.mark.slow
 def test_hvpr_loss_decreases():
     cfg = tiny_model_cfg()
     rng = np.random.default_rng(1)

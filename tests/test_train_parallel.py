@@ -3,10 +3,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_model import tiny_model_cfg, make_batch, _FakeDataset
 
 
+@pytest.mark.slow
 def test_train_step_8dev_mesh_loss_decreases():
     from hvpr_tpu.models import build_network
     from hvpr_tpu.optimization import build_optimizer
