@@ -10,7 +10,8 @@ contiguous index window starting at ``searchsorted(cells, t * TC)``, so each
 program loads a two-block window and distributes rows with a one-hot matmul
 on the MXU — f32-exact via the split-bf16 (hi + lo residual) trick.
 
-~192 GFLOP total for (16, 16000, 160) -> (16, 73408, 160): ~2-3 ms.
+~14 ms for (16, 16000, 160) -> (16, 73408, 160) (DMA-bound), vs 23 ms
+for the row-id gather and 40 ms for the wide scatter.
 """
 
 import functools
@@ -21,7 +22,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TC = 256          # canvas cells per tile (also the pillar window block rows)
+_TC = 256          # canvas cells per tile (also the pillar window block rows).
+                   # Measured at (16, 16000, 160): 14.2 ms at TC=256, 14.4 at
+                   # 128, 21.1 at 1024 — the kernel is bound by the dynamic
+                   # window DMAs, not one-hot flops or program count.
 
 
 def _round_up(x, m):
