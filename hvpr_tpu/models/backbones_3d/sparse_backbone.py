@@ -49,10 +49,10 @@ class SparseDownBlock(nn.Module):
     def __call__(self, feats, coords, valid, grid, train: bool):
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (27, feats.shape[-1], self.features))
-        x, c, m = sparse_conv3d_downsample(
+        x, c, m, dropped = sparse_conv3d_downsample(
             feats, coords, valid, w, grid, stride=2, max_out=self.max_out)
         x = MaskedBatchNorm()(x, m, train)
-        return nn.relu(x), c, m
+        return nn.relu(x), c, m, dropped
 
 
 def _sites_from_batch(batch_dict, grid):
@@ -91,17 +91,24 @@ class VoxelBackBone8xSparse(nn.Module):
         grid = (nz, ny, nx)
         f, c, m = _sites_from_batch(batch_dict, grid)
         v = f.shape[1]
-        cap = int(self.model_cfg.get('MAX_SITES', v))
+        # a stride-2 sparse conv DILATES the active set (each input touches
+        # up to 8 decimated cells) — 2*V covers sparse far-range scans;
+        # overflow is counted into batch_dict (never silent)
+        cap = int(self.model_cfg.get('MAX_SITES', 2 * v))
 
         f = SubMBlock(16)(f, c, m, grid, train)
         f = SubMBlock(16)(f, c, m, grid, train)
 
+        total_dropped = jnp.zeros((f.shape[0],), jnp.int32)
         channels = list(self.model_cfg.get('NUM_FILTERS', [32, 64, 64]))
         for ch in channels:
-            f, c, m = SparseDownBlock(ch, max_out=cap)(f, c, m, grid, train)
+            f, c, m, dropped = SparseDownBlock(ch, max_out=cap)(
+                f, c, m, grid, train)
+            total_dropped = total_dropped + dropped
             grid = tuple(-(-g // 2) for g in grid)
             f = SubMBlock(ch)(f, c, m, grid, train)
             f = SubMBlock(ch)(f, c, m, grid, train)
+        batch_dict['sparse_sites_dropped'] = total_dropped
 
         out_ch = int(self.model_cfg.get('OUT_CHANNELS', 128))
         f = SubMBlock(out_ch, kernel=3)(f, c, m, grid, train)

@@ -39,6 +39,7 @@ class PFNLayer(nn.Module):
     out_channels: int
     use_norm: bool = True
     last_layer: bool = False
+    max_seg: int = 32           # longest valid-row prefix per pillar segment
 
     @nn.compact
     def __call__(self, inputs, point_mask, train: bool,
@@ -53,7 +54,7 @@ class PFNLayer(nn.Module):
                 x = MaskedBatchNorm()(x, point_mask, train, transposed=True)
             x = nn.relu(x)
             xm = jnp.where(point_mask[None, :], x, -1e9)
-            seg = segment_broadcast_max_t(xm, flat_slot)      # (out, R) per-row max
+            seg = segment_broadcast_max_t(xm, flat_slot, self.max_seg)
             seg = jnp.where(point_mask[None, :], seg, 0.0)
             if self.last_layer:
                 return seg
@@ -110,7 +111,8 @@ def decorate_pillar_features(voxels, num_points, coords, voxel_size, point_cloud
 
 
 def decorate_flat_features(batch_dict, voxel_size, point_cloud_range,
-                           use_absolute_xyz=True, with_distance=False):
+                           use_absolute_xyz=True, with_distance=False,
+                           max_seg=32):
     """Flat-layout decoration, channel-major: (C_dec, R) rows.
 
     Consumes voxelize_batch_flat outputs (flat_points (C, R) / flat_slot /
@@ -135,8 +137,10 @@ def decorate_flat_features(batch_dict, voxel_size, point_cloud_range,
 
     safe_slot = jnp.where(write, slot, num_slots)
     xyz_t = pts_t[:3]
-    sums_t = segment_sums_t(jnp.where(write[None, :], xyz_t, 0.0), safe_slot)
-    cnt_row = segment_sums_t(write[None, :].astype(pts_t.dtype), safe_slot)
+    sums_t = segment_sums_t(jnp.where(write[None, :], xyz_t, 0.0),
+                            safe_slot, max_seg)
+    cnt_row = segment_sums_t(write[None, :].astype(pts_t.dtype),
+                             safe_slot, max_seg)
     means_t = sums_t / jnp.clip(cnt_row, 1.0, None)                 # (3, R)
     f_cluster = xyz_t - means_t
 
@@ -157,6 +161,7 @@ class PillarVFE(nn.Module):
     num_point_features: int
     voxel_size: Sequence[float]
     point_cloud_range: Sequence[float]
+    max_points_per_voxel: int = 32
 
     def get_output_feature_dim(self):
         return list(self.model_cfg['NUM_FILTERS'])[-1]
@@ -170,12 +175,14 @@ class PillarVFE(nn.Module):
             features_t, safe_slot, _ = decorate_flat_features(
                 batch_dict, self.voxel_size, self.point_cloud_range,
                 use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
-                with_distance=self.model_cfg.get('WITH_DISTANCE', False))
+                with_distance=self.model_cfg.get('WITH_DISTANCE', False),
+                max_seg=self.max_points_per_voxel)
             b, v = batch_dict['voxel_num_points'].shape
             write = batch_dict['flat_write']
             for i, out_ch in enumerate(num_filters):
                 features_t = PFNLayer(out_ch, use_norm,
-                                      last_layer=(i == len(num_filters) - 1))(
+                                      last_layer=(i == len(num_filters) - 1),
+                                      max_seg=self.max_points_per_voxel)(
                     features_t, write, train,
                     flat_slot=safe_slot, num_slots=b * v)
             # one lane gather extracts each slot's (broadcast) max
@@ -211,6 +218,7 @@ class PillarVFE_Scale(nn.Module):
     num_point_features: int
     voxel_size: Sequence[float]
     point_cloud_range: Sequence[float]
+    max_points_per_voxel: int = 32
 
     def get_output_feature_dim(self):
         return list(self.model_cfg['NUM_FILTERS'])[-1]
@@ -225,12 +233,14 @@ class PillarVFE_Scale(nn.Module):
             features_t, safe_slot, sums_t = decorate_flat_features(
                 batch_dict, self.voxel_size, self.point_cloud_range,
                 use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
-                with_distance=self.model_cfg.get('WITH_DISTANCE', False))
+                with_distance=self.model_cfg.get('WITH_DISTANCE', False),
+                max_seg=self.max_points_per_voxel)
             b, v = batch_dict['voxel_num_points'].shape
             write = batch_dict['flat_write']
             for i, out_ch in enumerate(num_filters):
                 features_t = PFNLayer(out_ch, use_norm,
-                                      last_layer=(i == len(num_filters) - 1))(
+                                      last_layer=(i == len(num_filters) - 1),
+                                      max_seg=self.max_points_per_voxel)(
                     features_t, write, train,
                     flat_slot=safe_slot, num_slots=b * v)
             # ONE lane gather extracts pillar features AND xyz sums per slot
@@ -285,6 +295,7 @@ class MeanVFE(nn.Module):
     num_point_features: int
     voxel_size: Sequence[float] = None
     point_cloud_range: Sequence[float] = None
+    max_points_per_voxel: int = 32
 
     def get_output_feature_dim(self):
         return self.num_point_features

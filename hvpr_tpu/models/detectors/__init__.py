@@ -20,4 +20,8 @@ def build_detector(model_cfg, num_class, dataset):
         voxel_size=tuple(float(v) for v in dataset.voxel_size),
         num_point_features=dataset.point_feature_encoder.num_point_features
         if hasattr(dataset, 'point_feature_encoder') else 4,
+        # bounds the flat-VFE segment scans (PFNLayer max_seg)
+        max_points_per_voxel=int(getattr(
+            getattr(dataset, 'data_processor', None), 'max_points_per_voxel',
+            None) or getattr(dataset, 'max_points_per_voxel', 32)),
     )

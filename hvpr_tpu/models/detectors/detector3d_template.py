@@ -33,6 +33,7 @@ class Detector3DTemplate(nn.Module):
     point_cloud_range: Sequence[float]
     voxel_size: Sequence[float]
     num_point_features: int = 4
+    max_points_per_voxel: int = 32      # flat-VFE segment-scan bound
 
     def setup(self):
         from ..backbones_3d import __all__ as backbones_3d
@@ -47,8 +48,9 @@ class Detector3DTemplate(nn.Module):
             name = cfg['BACKBONE_3D']['NAME']
             kwargs = dict(model_cfg=cfg['BACKBONE_3D'],
                           input_channels=self.num_point_features)
-            if name in ('VoxelBackBone8x', 'VoxelResBackBone8x',
-                        'VoxelBackBone8x_voxelrcnn', 'UNetV2'):
+            if name in ('VoxelBackBone8x', 'VoxelBackBone8xDense',
+                        'VoxelResBackBone8x', 'VoxelBackBone8x_voxelrcnn',
+                        'UNetV2'):
                 kwargs['grid_size'] = self.grid_size  # voxel-grid backbones
             self.backbone_3d = backbones_3d[name](**kwargs)
 
@@ -59,7 +61,8 @@ class Detector3DTemplate(nn.Module):
                 model_cfg=cfg['VFE'],
                 num_point_features=self.num_point_features,
                 voxel_size=self.voxel_size,
-                point_cloud_range=self.point_cloud_range)
+                point_cloud_range=self.point_cloud_range,
+                max_points_per_voxel=self.max_points_per_voxel)
             vfe_out = self.vfe.get_output_feature_dim()
 
         self.map_to_bev = None
@@ -114,25 +117,27 @@ def post_processing(batch_dict, post_cfg, num_class):
     post_max = int(nms_cfg['NMS_POST_MAXSIZE'])
 
     def process_one(cls_p, box_p):
+        """Returns (boxes, scores, labels, mask, capped) — capped = survivors
+        dropped by the (per-class) NMS_POST_MAXSIZE cap."""
         if multi_class:
-            boxes, scores, labels, mask = multi_classes_nms(
+            return multi_classes_nms(
                 cls_p, box_p, nms_cfg, score_thresh=score_thresh)
-            return boxes, scores, labels, mask, mask.sum()
         scores = cls_p.max(axis=-1)
         labels = cls_p.argmax(axis=-1) + 1
         keep_idx, keep_mask, num_kept = class_agnostic_nms(
             scores, box_p, nms_cfg, score_thresh=score_thresh)
         return (box_p[keep_idx], scores[keep_idx],
-                labels[keep_idx].astype(jnp.int32), keep_mask, num_kept)
+                labels[keep_idx].astype(jnp.int32), keep_mask,
+                jnp.clip(num_kept - post_max, 0, None))
 
-    boxes, scores, labels, mask, num_kept = jax.vmap(process_one)(
+    boxes, scores, labels, mask, capped = jax.vmap(process_one)(
         cls_preds, box_preds)
     out = {
         'pred_boxes': boxes, 'pred_scores': scores,
         'pred_labels': labels, 'pred_mask': mask,
         # survivors dropped by the NMS_POST_MAXSIZE cap, per sample
         # (the reference truncates silently; here it is observable)
-        'num_capped': jnp.clip(num_kept - post_max, 0, None),
+        'num_capped': capped,
     }
 
     if 'gt_boxes' in batch_dict and recall_thresh_list:

@@ -37,22 +37,26 @@ def multi_classes_nms(cls_scores, box_preds, nms_config, score_thresh=None):
     Args:
         cls_scores: (A, num_class); box_preds: (A, 7+).
     Returns:
-        boxes (C*post, 7+), scores (C*post,), labels (C*post,) 1-based, mask.
+        boxes (C*post, 7+), scores (C*post,), labels (C*post,) 1-based, mask,
+        num_capped () — survivors dropped by the per-class post_maxsize caps.
     """
     num_class = cls_scores.shape[1]
+    post_max = int(nms_config['NMS_POST_MAXSIZE'])
     outs = []
+    num_capped = jnp.zeros((), jnp.int32)
     for c in range(num_class):
         scores_c = cls_scores[:, c]
         if score_thresh is not None:
             scores_c = jnp.where(scores_c >= score_thresh, scores_c, -jnp.inf)
-        keep_idx, keep_mask, _ = nms_bev_fixed(
+        keep_idx, keep_mask, num_kept = nms_bev_fixed(
             box_preds[:, :7], scores_c, float(nms_config['NMS_THRESH']),
             pre_maxsize=int(nms_config['NMS_PRE_MAXSIZE']),
-            post_maxsize=int(nms_config['NMS_POST_MAXSIZE']))
+            post_maxsize=post_max)
+        num_capped += jnp.clip(num_kept - post_max, 0, None)
         outs.append((box_preds[keep_idx], cls_scores[keep_idx, c],
                      jnp.full_like(keep_idx, c + 1), keep_mask))
     boxes = jnp.concatenate([o[0] for o in outs], axis=0)
     scores = jnp.concatenate([o[1] for o in outs], axis=0)
     labels = jnp.concatenate([o[2] for o in outs], axis=0)
     mask = jnp.concatenate([o[3] for o in outs], axis=0)
-    return boxes, scores, labels, mask
+    return boxes, scores, labels, mask, num_capped

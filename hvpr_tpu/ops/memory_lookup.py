@@ -130,9 +130,12 @@ def memory_lookup_fused(pillars, memory, k, block_rows=1024,
     assert memory.shape[1] == c
     assert k <= _NUM_BUCKETS, (k, _NUM_BUCKETS)
 
+    import math
     cp = _round_up(c, 128)
     mp = _round_up(m, max(_NUM_BUCKETS, 128))
-    rp = _round_up(r, max(block_rows, thresh_block_rows))
+    # rp must divide into BOTH grid block sizes — the LCM, not the max
+    # (a non-dividing block_rows would silently skip tail rows)
+    rp = _round_up(r, math.lcm(block_rows, thresh_block_rows))
 
     pill_p = jnp.zeros((rp, cp), jnp.bfloat16).at[:r, :c].set(
         pillars.astype(jnp.bfloat16))

@@ -121,41 +121,16 @@ def segment_last_row(safe_slot, num_slots):
 
 
 def sorted_segment_max(x, slot, write, num_slots, max_seg=32):
-    """Max-reduce rows into slots, exploiting the voxelizer's flat layout.
+    """Row-major wrapper over the channel-major segment reductions.
 
-    Requires the :func:`hvpr_tpu.ops.voxelizer.voxelize_batch_flat`
-    invariants: rows sorted by slot, each slot's valid (``write``) rows
-    forming a contiguous prefix of at most ``max_seg`` rows. The reduction
-    is then log2(max_seg) masked shifted-max passes (pure streaming VPU
-    work) plus one gather of each segment's last valid row — replacing an
-    XLA scatter-max that costs ~10 ms per pass at (262k, 64) (measured).
-
-    Args:
-        x: (R, C) rows.
-        slot: (R,) int32 slot per row (any value where ``write`` is False).
-        write: (R,) bool row validity.
-        num_slots: static output row count.
-        max_seg: static max valid rows per slot.
-    Returns:
-        (num_slots, C) per-slot maxima; empty slots are 0.
+    (The flat VFE uses the channel-major primitives directly; this form is
+    kept for row-major callers/tests.) Same flat-layout invariants.
     """
-    r, c = x.shape
-    neg = jnp.asarray(-1e9, x.dtype)
-    safe_slot = jnp.where(write, slot, num_slots)
-    y = jnp.where(write[:, None], x, neg)
-
-    d = 1
-    while d < max_seg:
-        same = safe_slot[d:] == safe_slot[:-d]
-        shifted = jnp.where(same[:, None], y[:-d], neg)
-        y = jnp.concatenate([y[:d], jnp.maximum(y[d:], shifted)], axis=0)
-        d *= 2
-
-    # each slot's max now sits at its LAST valid row
-    last = jnp.full((num_slots + 1,), -1, dtype=jnp.int32)
-    last = last.at[safe_slot].max(jnp.arange(r, dtype=jnp.int32),
-                                  mode='drop')[:num_slots]
-    seg = y[jnp.clip(last, 0, r - 1)]
+    seg_rows = segment_broadcast_max_t(
+        jnp.where(write[:, None], x, -1e9).T,
+        jnp.where(write, slot, num_slots), max_seg)
+    last = segment_last_row(jnp.where(write, slot, num_slots), num_slots)
+    seg = seg_rows.T[jnp.clip(last, 0, x.shape[0] - 1)]
     return jnp.where((last >= 0)[:, None], seg, 0.0)
 
 

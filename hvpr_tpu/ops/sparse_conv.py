@@ -105,8 +105,12 @@ def sparse_conv3d_downsample(feats, coords, valid, weights, grid, stride,
         max_out: static output site cap.
     Returns:
         out_feats (B, max_out, C_out), out_coords (B, max_out, 3) sorted,
-        out_valid (B, max_out) — on the (nz/s, ny/s, nx/s) grid.
+        out_valid (B, max_out), n_dropped (B,) — sites lost to the
+        ``max_out`` cap (0 when the cap is adequate).
     """
+    assert stride == 2, (
+        'the 2-candidates-per-axis parent enumeration assumes stride 2 '
+        f'(kernel 3, pad 1); got stride={stride}')
     nz, ny, nx = grid
     og = (-(-nz // stride), -(-ny // stride), -(-nx // stride))
     onz, ony, onx = og
@@ -173,6 +177,8 @@ def sparse_conv3d_downsample(feats, coords, valid, weights, grid, stride,
         out, _ = jax.lax.scan(
             accumulate,
             jnp.zeros((max_out, weights.shape[-1]), f.dtype), (offs, weights))
-        return jnp.where(out_ok[:, None], out, 0.0), out_coords, out_ok
+        n_dropped = jnp.clip(head.sum() - max_out, 0, None).astype(jnp.int32)
+        return jnp.where(out_ok[:, None], out, 0.0), out_coords, out_ok, \
+            n_dropped
 
     return jax.vmap(one)(feats, coords, valid)

@@ -73,11 +73,12 @@ def test_sparse_downsample_matches_dense_strided_conv():
     feats, coords, valid = _random_sites(rng, v=48, n_active=40, c_in=c_in)
     w = rng.normal(size=(27, c_in, c_out)).astype(np.float32)
 
-    of, oc, om = sparse_conv3d_downsample(
+    of, oc, om, dropped = sparse_conv3d_downsample(
         jnp.asarray(feats[None]), jnp.asarray(coords[None]),
         jnp.asarray(valid[None]), jnp.asarray(w), GRID, stride=2,
         max_out=192)
     of, oc, om = (np.asarray(x)[0] for x in (of, oc, om))
+    assert int(np.asarray(dropped)[0]) == 0
 
     dense = _densify(feats, coords, valid)
     want = np.asarray(_dense_conv(dense, w, stride=2))

@@ -172,7 +172,13 @@ def main():
     # watcher, as the reference does (reference train.py:180-196).
     logger.info('**********************Start evaluation %s/%s(%s)**********************',
                 cfg_.EXP_GROUP_PATH, cfg_.TAG, args.extra_tag)
-    import test as test_cli  # tools/test.py (script dir precedes stdlib)
+    # load tools/test.py by path — a bare `import test` resolves to the
+    # stdlib test package when tools/ is not sys.path[0] (python -m, imports)
+    import importlib.util
+    _spec = importlib.util.spec_from_file_location(
+        'hvpr_test_cli', str(Path(__file__).resolve().parent / 'test.py'))
+    test_cli = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(test_cli)
 
     test_set, test_loader, _ = build_dataloader(
         dataset_cfg=cfg_.DATA_CONFIG, class_names=cfg_.CLASS_NAMES,
