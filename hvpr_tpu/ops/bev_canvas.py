@@ -109,6 +109,8 @@ def canvas_from_sorted(features, coords, mask, ny, nx, interpret=None):
         _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, ncells_p, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary')),
         interpret=bool(interpret),
     )(win, cell_3d, cell_3d, feat_p, feat_p)
     return canvas[:, :ncells].reshape(b, ny, nx, c)
