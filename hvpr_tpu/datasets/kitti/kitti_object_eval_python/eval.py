@@ -61,7 +61,10 @@ def image_box_overlap(boxes, query_boxes, criterion=-1):
             ua = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
         else:
             ua = np.full(n, qbox_area)
-        overlaps[:, j] = np.where(mask, inter / ua, 0.0)
+        # mask before dividing: ua can be 0 on masked/degenerate rows and a
+        # raw inter/ua would raise RuntimeWarnings that hide real NaN bugs
+        ok = mask & (ua > 0)
+        overlaps[:, j] = np.where(ok, inter / np.where(ok, ua, 1.0), 0.0)
     return overlaps
 
 

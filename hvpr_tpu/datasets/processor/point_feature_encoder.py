@@ -1,7 +1,12 @@
-"""Point feature encoding (host-side).
+"""Point feature encoding (host-side channel selection).
 
-Parity target: /root/reference/pcdet/datasets/processor/point_feature_encoder.py
-(absolute_coordinates_encoding: select configured feature channels:35-47).
+Behavioral spec derived from /root/reference/pcdet/datasets/processor/
+point_feature_encoder.py:35-47: the config's ``encoding_type`` names the
+encoder method (a NAME-dispatch contract shared with the reference configs);
+``absolute_coordinates_encoding`` keeps xyz plus every extra channel listed
+in ``used_feature_list``, each located by its position in
+``src_feature_list``. Calling an encoder with no points is the reference's
+overloaded channel-count query, kept for config-driven model sizing.
 """
 
 import numpy as np
@@ -10,30 +15,29 @@ import numpy as np
 class PointFeatureEncoder:
     def __init__(self, config, point_cloud_range=None):
         self.point_encoding_config = config
-        assert list(self.point_encoding_config['src_feature_list'][0:3]) == ['x', 'y', 'z']
-        self.used_feature_list = list(self.point_encoding_config['used_feature_list'])
-        self.src_feature_list = list(self.point_encoding_config['src_feature_list'])
         self.point_cloud_range = point_cloud_range
+        src = list(config['src_feature_list'])
+        used = list(config['used_feature_list'])
+        if src[:3] != ['x', 'y', 'z']:
+            raise ValueError(f'src_feature_list must lead with x,y,z; got {src}')
+        self.src_feature_list = src
+        self.used_feature_list = used
+        # source column of every requested non-coordinate channel, in order
+        self._extra_cols = [src.index(name) for name in used
+                            if name not in ('x', 'y', 'z')]
 
     @property
     def num_point_features(self):
-        return getattr(self, self.point_encoding_config['encoding_type'])(points=None)
+        encode = getattr(self, self.point_encoding_config['encoding_type'])
+        return encode(points=None)
 
     def forward(self, data_dict):
-        data_dict['points'], use_lead_xyz = getattr(
-            self, self.point_encoding_config['encoding_type'])(data_dict['points'])
-        data_dict['use_lead_xyz'] = use_lead_xyz
+        encode = getattr(self, self.point_encoding_config['encoding_type'])
+        data_dict['points'], data_dict['use_lead_xyz'] = encode(data_dict['points'])
         return data_dict
 
     def absolute_coordinates_encoding(self, points=None):
-        if points is None:
-            return len(self.used_feature_list)
-
-        point_feature_list = [points[:, 0:3]]
-        for x in self.used_feature_list:
-            if x in ['x', 'y', 'z']:
-                continue
-            idx = self.src_feature_list.index(x)
-            point_feature_list.append(points[:, idx:idx + 1])
-        point_features = np.concatenate(point_feature_list, axis=1)
-        return point_features, True
+        if points is None:                     # channel-count query
+            return 3 + len(self._extra_cols)
+        cols = [points[:, :3]] + [points[:, i:i + 1] for i in self._extra_cols]
+        return np.concatenate(cols, axis=1), True

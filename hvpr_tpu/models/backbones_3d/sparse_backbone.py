@@ -8,10 +8,9 @@ fallback (spconv_backbone.py) is intractable: compute scales with the
 ~16k active sites, not the 92M-cell grid.
 
 Structure follows OpenPCDet's VoxelBackBone8x: a SubM stem, then three
-(strided sparse conv + 2 SubM) stages to stride 8, channels 16-32-64-64.
-The absent upstream ``conv_out`` ((3,1,1) stride-(2,1,1) sparse conv) is
-approximated by a final submanifold conv at stride 8 before densification
-(documented deviation; the snapshot has no source to match).
+(strided sparse conv + 2 SubM) stages to stride 8, channels 16-32-64-64,
+closed by the upstream ``conv_out``: a (3,1,1)-kernel, (2,1,1)-stride,
+padding-0 sparse conv that compresses the z axis before densification.
 """
 
 from typing import Sequence
@@ -19,8 +18,10 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ...ops.sparse_conv import sparse_conv3d_downsample, subm_conv3d
+from ...ops.sparse_conv import (sparse_conv3d, sparse_conv3d_out_grid,
+                                subm_conv3d)
 from ..model_utils.layers import MaskedBatchNorm
 
 
@@ -40,17 +41,26 @@ class SubMBlock(nn.Module):
 
 
 class SparseDownBlock(nn.Module):
-    """Stride-2 sparse conv (new site list) + masked BN + ReLU."""
+    """Strided sparse conv (new site list) + masked BN + ReLU.
+
+    Per-axis kernel/stride/padding: the stage convs are (3,3,3)/s2/p1, the
+    final conv_out is (3,1,1)/(2,1,1)/p0 as in upstream VoxelBackBone8x.
+    """
 
     features: int
     max_out: int
+    kernel: tuple = (3, 3, 3)
+    stride: tuple = (2, 2, 2)
+    padding: tuple = (1, 1, 1)
 
     @nn.compact
     def __call__(self, feats, coords, valid, grid, train: bool):
         w = self.param('kernel', nn.initializers.lecun_normal(),
-                       (27, feats.shape[-1], self.features))
-        x, c, m, dropped = sparse_conv3d_downsample(
-            feats, coords, valid, w, grid, stride=2, max_out=self.max_out)
+                       (int(np.prod(self.kernel)), feats.shape[-1],
+                        self.features))
+        x, c, m, dropped = sparse_conv3d(
+            feats, coords, valid, w, grid, kernel=self.kernel,
+            stride=self.stride, padding=self.padding, max_out=self.max_out)
         x = MaskedBatchNorm()(x, m, train)
         return nn.relu(x), c, m, dropped
 
@@ -105,15 +115,21 @@ class VoxelBackBone8xSparse(nn.Module):
             f, c, m, dropped = SparseDownBlock(ch, max_out=cap)(
                 f, c, m, grid, train)
             total_dropped = total_dropped + dropped
-            grid = tuple(-(-g // 2) for g in grid)
+            grid = sparse_conv3d_out_grid(grid, 3, 2, 1)
             f = SubMBlock(ch)(f, c, m, grid, train)
             f = SubMBlock(ch)(f, c, m, grid, train)
+
+        # upstream conv_out: (3,1,1) kernel, (2,1,1) stride, no padding —
+        # halves z only, output stride stays 8 in BEV
+        out_ch = int(self.model_cfg.get('OUT_CHANNELS', 128))
+        f, c, m, dropped = SparseDownBlock(
+            out_ch, max_out=cap, kernel=(3, 1, 1), stride=(2, 1, 1),
+            padding=(0, 0, 0))(f, c, m, grid, train)
+        total_dropped = total_dropped + dropped
+        grid = sparse_conv3d_out_grid(grid, (3, 1, 1), (2, 1, 1), (0, 0, 0))
         batch_dict['sparse_sites_dropped'] = total_dropped
 
-        out_ch = int(self.model_cfg.get('OUT_CHANNELS', 128))
-        f = SubMBlock(out_ch, kernel=3)(f, c, m, grid, train)
-
-        # densify the stride-8 sites (small grid) for HeightCompression
+        # densify the z-compressed stride-8 sites for HeightCompression
         dz, dy, dx = grid
         lin = c[..., 0] * (dy * dx) + c[..., 1] * dx + c[..., 2]
         lin = jnp.where(m, lin, dz * dy * dx)

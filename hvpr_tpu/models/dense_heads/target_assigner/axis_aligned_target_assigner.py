@@ -34,9 +34,13 @@ class AxisAlignedTargetAssigner:
         self.unmatched_thresholds = {c['class_name']: c['unmatched_threshold']
                                      for c in anchor_generator_cfg}
         self.norm_by_num_examples = anchor_target_cfg.get('NORM_BY_NUM_EXAMPLES', False)
-        # POS_FRACTION subsampling (anchor_target_cfg POS_FRACTION >= 0) is a
-        # stochastic trainer-side rebalancing the shipped HVPR config disables
-        # (POS_FRACTION: -1.0); not implemented.
+        # POS_FRACTION >= 0 enables fg/bg subsampling (reference
+        # axis_aligned_target_assigner.py:173-185): cap foregrounds at
+        # pos_fraction*sample_size, then sample backgrounds to fill the rest
+        # of the sample_size budget; everything else is ignored (-1).
+        pos_fraction = float(anchor_target_cfg.get('POS_FRACTION', -1.0) or -1.0)
+        self.pos_fraction = pos_fraction if pos_fraction >= 0 else None
+        self.sample_size = int(anchor_target_cfg.get('SAMPLE_SIZE', 512))
 
     def assign_targets(self, all_anchors, gt_boxes_with_classes):
         """
@@ -50,6 +54,18 @@ class AxisAlignedTargetAssigner:
         gt_boxes = gt_boxes_with_classes[..., :7]
         gt_classes = gt_boxes_with_classes[..., 7].astype(jnp.int32)
         gt_valid = jnp.abs(gt_boxes_with_classes).sum(axis=-1) > 0   # (B, M)
+        batch = gt_boxes.shape[0]
+
+        # POS_FRACTION subsampling needs per-sample randomness inside a jitted
+        # step with no rng plumbed through; derive keys from the batch content
+        # (deterministic given the data, varies across batches).
+        if self.pos_fraction is not None:
+            seed = jax.lax.bitcast_convert_type(
+                jnp.sum(gt_boxes, dtype=jnp.float32), jnp.int32)
+            keys = jax.random.split(jax.random.fold_in(
+                jax.random.PRNGKey(17), seed), batch)
+        else:
+            keys = jnp.zeros((batch, 2), jnp.uint32)
 
         per_class = []
         for cls_idx, (cls_name, anchors) in enumerate(zip(self.anchor_class_names, all_anchors)):
@@ -62,7 +78,7 @@ class AxisAlignedTargetAssigner:
                         flat_anchors,
                         matched_threshold=self.matched_thresholds[cls_name],
                         unmatched_threshold=self.unmatched_thresholds[cls_name]))(
-                gt_boxes, gt_classes, cls_mask)
+                gt_boxes, gt_classes, cls_mask, keys)
             # reshape to (B, ny*nx, ns*nr) for cross-class interleaving
             b = gt_boxes.shape[0]
             single = {k: v.reshape(b, nz * ny * nx, ns * nr, *v.shape[2:])
@@ -79,7 +95,7 @@ class AxisAlignedTargetAssigner:
             'reg_weights': weights.reshape(b, -1),
         }
 
-    def _assign_single(self, anchors, gt_boxes, gt_classes, cls_mask,
+    def _assign_single(self, anchors, gt_boxes, gt_classes, cls_mask, key,
                        matched_threshold, unmatched_threshold):
         """Single-sample, single-class assignment over (A,) anchors, (M,) gts."""
         num_anchors = anchors.shape[0]
@@ -109,6 +125,9 @@ class AxisAlignedTargetAssigner:
         labels = jnp.where(force_any, matched_cls, labels)
         labels = jnp.where(any_gt, labels, 0)                         # no gts -> all bg
 
+        if self.pos_fraction is not None:
+            labels = self._subsample(labels, bg | ~any_gt, key)
+
         fg = labels > 0
         safe_gt = gt_boxes[anchor_to_gt_argmax]                       # (A, 7)
         targets = self.box_coder.encode(safe_gt, anchors)
@@ -119,3 +138,34 @@ class AxisAlignedTargetAssigner:
             num_examples = jnp.clip((labels >= 0).sum().astype(jnp.float32), 1.0, None)
             weights = weights / num_examples
         return {'labels': labels, 'targets': targets, 'weights': weights}
+
+    def _subsample(self, labels, bg_candidates, key):
+        """Fixed-shape fg/bg subsampling (reference :173-185, evident intent).
+
+        Caps foregrounds at pos_fraction*sample_size by randomly disabling
+        the excess to -1 (the reference indexes ``labels[disable_inds]``
+        where ``labels[fg_inds[disable_inds]]`` is evidently meant), then
+        randomly samples backgrounds to fill the remaining sample_size
+        budget, un-labeling the rest to -1 (the reference samples bg WITH
+        replacement via randint and leaves all bg at -1 when fewer
+        candidates than budget exist; without-replacement with a keep-all
+        fallback is the evident intent). Kept foregrounds are excluded from
+        bg sampling so a force-match is never clobbered to 0.
+        """
+        k_fg, k_bg = jax.random.split(key)
+        num_anchors = labels.shape[0]
+        num_fg_cap = int(self.pos_fraction * self.sample_size)
+
+        fg = labels > 0
+        # keep the num_fg_cap smallest random scores among foregrounds
+        u = jax.random.uniform(k_fg, (num_anchors,))
+        fg_rank = jnp.argsort(jnp.argsort(jnp.where(fg, u, jnp.inf)))
+        fg_keep = fg & (fg_rank < num_fg_cap)
+        labels = jnp.where(fg & ~fg_keep, -1, labels)
+
+        num_bg = self.sample_size - fg_keep.sum()
+        bg_cand = bg_candidates & ~fg_keep
+        v = jax.random.uniform(k_bg, (num_anchors,))
+        bg_rank = jnp.argsort(jnp.argsort(jnp.where(bg_cand, v, jnp.inf)))
+        bg_keep = bg_cand & (bg_rank < num_bg)
+        return jnp.where(bg_cand, jnp.where(bg_keep, 0, -1), labels)

@@ -106,7 +106,19 @@ def optax_global_norm(tree):
 
 
 def shard_host_batch(batch, mesh):
-    """Place a host numpy batch onto the mesh, split along the leading axis."""
+    """Place a host numpy batch onto the mesh, split along the leading axis.
+
+    Single-process: ``device_put`` with the batch sharding. Multi-process
+    (mesh spans hosts): each process holds only its rank's shard of the
+    global batch (the rank-sharded dataloader, datasets/__init__.py), so the
+    global array is assembled with ``make_array_from_process_local_data``.
+    """
     sharding = batch_sharding(mesh)
+    multiprocess = any(d.process_index != jax.process_index()
+                       for d in mesh.devices.flat)
+    if multiprocess:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)

@@ -141,18 +141,47 @@ def get_dist_info():
         return 0, 1
 
 
-def init_dist_jax(coordinator_address=None, num_processes=None, process_id=None):
-    """Initialize multi-host JAX (replacement for init_dist_pytorch/slurm).
+def init_dist_jax(coordinator_address=None, num_processes=None, process_id=None,
+                  local_device_ids=None, logger=None):
+    """Initialize multi-host JAX (replacement for init_dist_pytorch/slurm,
+    reference common_utils.py:114-154).
 
-    On a single host this is a no-op; on multi-host pods the standard JAX
-    environment variables (or explicit arguments) configure the cluster.
+    Resolution order:
+      1. Explicit arguments (``coordinator_address``/``num_processes``/
+         ``process_id``) — the ``init_dist_pytorch`` analogue.
+      2. Environment: either JAX's own variables
+         (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``)
+         or a recognized cluster scheduler (SLURM / TPU pod metadata), in
+         which case ``jax.distributed.initialize()`` auto-detects — the
+         ``init_dist_slurm`` analogue.
+      3. Neither found: warn loudly and stay single-process (the reference
+         raises in this case; we degrade but never silently).
     """
-    if num_processes is not None and num_processes > 1:
+    if jax.distributed.is_initialized():
+        return get_dist_info()
+
+    explicit = num_processes is not None or coordinator_address is not None
+    env = os.environ
+    env_configured = (
+        'JAX_COORDINATOR_ADDRESS' in env or 'COORDINATOR_ADDRESS' in env
+        or 'SLURM_JOB_ID' in env or 'TPU_WORKER_HOSTNAMES' in env
+        or 'MEGASCALE_COORDINATOR_ADDRESS' in env)
+
+    if explicit:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            local_device_ids=local_device_ids,
         )
+    elif env_configured:
+        jax.distributed.initialize()
+    else:
+        msg = ('--launcher jax requested but no cluster configuration found '
+               '(no coordinator arguments, no JAX_COORDINATOR_ADDRESS/'
+               'SLURM/TPU-pod environment); continuing single-process.')
+        (logger.warning if logger is not None else
+         logging.getLogger(__name__).warning)(msg)
     return get_dist_info()
 
 
@@ -169,23 +198,59 @@ def merge_results_dist(result_part, size, tmpdir=None):
         return result_part[:size]
 
     import pickle
+    import shutil
     import time
     assert tmpdir is not None
+    # Each call gets its own numbered subdirectory (callers invoke this in
+    # lockstep, so a per-process counter is globally consistent).  This makes
+    # repeated evals in the same tmpdir re-entrant by construction: a rank
+    # racing ahead into call N+1 writes into a fresh directory, never one that
+    # rank 0 is still gathering from or about to remove.
+    call_id = merge_results_dist._calls
+    merge_results_dist._calls += 1
+    tmpdir = os.path.join(tmpdir, f'merge_{call_id}')
     os.makedirs(tmpdir, exist_ok=True)
+
+    def _wait(predicate, poll=0.05, timeout=600.0):
+        deadline = time.monotonic() + timeout
+        while not predicate():
+            if time.monotonic() > deadline:
+                raise TimeoutError(f'merge_results_dist barrier timed out in {tmpdir}')
+            time.sleep(poll)
+
+    # Three-phase re-entrant protocol (the reference rmtree's its tmpdir,
+    # common_utils.py:174-195; sentinel files must likewise not survive the
+    # call or a second eval in the same tmpdir reads stale partials):
+    #   1. each rank writes its part, then done_<rank>; all ranks wait for all
+    #   2. rank 0 gathers, writes 'gathered'; others wait for it, ack, return
+    #   3. rank 0 waits for all acks, then removes the tmpdir entirely
     with open(os.path.join(tmpdir, f'result_part_{rank}.pkl'), 'wb') as f:
         pickle.dump(result_part, f)
-    # barrier via sentinel files
     with open(os.path.join(tmpdir, f'done_{rank}'), 'w') as f:
         f.write('1')
-    while len([x for x in os.listdir(tmpdir) if x.startswith('done_')]) < world_size:
-        time.sleep(0.5)
+    _wait(lambda: all(os.path.exists(os.path.join(tmpdir, f'done_{i}'))
+                      for i in range(world_size)))
+
     if rank != 0:
+        _wait(lambda: os.path.exists(os.path.join(tmpdir, 'gathered')))
+        with open(os.path.join(tmpdir, f'ack_{rank}'), 'w') as f:
+            f.write('1')
         return None
+
     part_list = []
     for i in range(world_size):
         with open(os.path.join(tmpdir, f'result_part_{i}.pkl'), 'rb') as f:
             part_list.append(pickle.load(f))
+    with open(os.path.join(tmpdir, 'gathered'), 'w') as f:
+        f.write('1')
+    _wait(lambda: all(os.path.exists(os.path.join(tmpdir, f'ack_{i}'))
+                      for i in range(1, world_size)))
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
     ordered_results = []
     for res in zip(*part_list):
         ordered_results.extend(list(res))
     return ordered_results[:size]
+
+
+merge_results_dist._calls = 0

@@ -1,0 +1,56 @@
+"""2-process multi-host distributed test (VERDICT r2 item 1).
+
+Spawns two subprocesses, each a 4-virtual-CPU-device "host", joined through
+``init_dist_jax`` into one 8-device cluster. Proves: jax.distributed actually
+initializes under the CLI's ``--launcher jax`` path, the global mesh spans
+processes, collectives and SyncBN-style BatchNorm statistics cross the
+process boundary, and ``merge_results_dist`` is correct and re-entrant at
+world_size=2. Reference parity: pcdet/utils/common_utils.py:114-195.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / 'tests' / 'multihost_worker.py'
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cluster(tmp_path):
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('JAX_PLATFORMS', 'XLA_FLAGS')}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(port), str(i), str(tmp_path / 'merge')],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(REPO))
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f'worker {i} failed:\n{out}'
+        assert f'MULTIHOST_OK rank={i}' in out, out
+    # both ranks computed the same (global-batch) loss
+    losses = {out.split('loss=')[1].split()[0] for out in outs}
+    assert len(losses) == 1, losses
+    # the merge tmpdir was cleaned up by rank 0 (re-entrant protocol phase 3)
+    merge_dir = tmp_path / 'merge'
+    leftovers = list(merge_dir.glob('**/*')) if merge_dir.exists() else []
+    assert not leftovers, leftovers

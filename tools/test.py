@@ -36,6 +36,10 @@ def parse_config():
     parser.add_argument('--extra_tag', type=str, default='default')
     parser.add_argument('--ckpt', type=str, default=None)
     parser.add_argument('--launcher', choices=['none', 'jax'], default='none')
+    parser.add_argument('--coordinator_address', type=str, default=None,
+                        help='multi-host: host:port of process 0 (env auto-detect if unset)')
+    parser.add_argument('--num_processes', type=int, default=None)
+    parser.add_argument('--process_id', type=int, default=None)
     parser.add_argument('--eval_tag', type=str, default='default')
     parser.add_argument('--eval_all', action='store_true', default=False,
                         help='evaluate all checkpoints in ckpt_dir')
@@ -147,7 +151,9 @@ def repeat_eval_ckpt(net, test_loader, args, eval_output_dir, logger, ckpt_dir,
 def main():
     args, cfg_ = parse_config()
     if args.launcher == 'jax':
-        common_utils.init_dist_jax()
+        common_utils.init_dist_jax(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes, process_id=args.process_id)
     dist_test = jax.process_count() > 1
 
     n_devices = len(jax.devices())

@@ -41,6 +41,10 @@ def parse_config():
     parser.add_argument('--ckpt', type=str, default=None, help='checkpoint to start from')
     parser.add_argument('--pretrained_model', type=str, default=None)
     parser.add_argument('--launcher', choices=['none', 'jax'], default='none')
+    parser.add_argument('--coordinator_address', type=str, default=None,
+                        help='multi-host: host:port of process 0 (env auto-detect if unset)')
+    parser.add_argument('--num_processes', type=int, default=None)
+    parser.add_argument('--process_id', type=int, default=None)
     parser.add_argument('--sync_bn', action='store_true', default=False,
                         help='(always on: cross-replica BN stats are implicit)')
     parser.add_argument('--fix_random_seed', action='store_true', default=False)
@@ -67,7 +71,9 @@ def parse_config():
 def main():
     args, cfg_ = parse_config()
     if args.launcher == 'jax':
-        common_utils.init_dist_jax()
+        common_utils.init_dist_jax(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes, process_id=args.process_id)
     dist_train = jax.process_count() > 1
 
     n_devices = len(jax.devices())
