@@ -20,18 +20,28 @@ from ..model_utils.layers import ConvBNReLU, DeconvBNReLU
 from .spatial_attention import SpatialAttention
 
 
+def _compute_dtype(model_cfg):
+    """BACKBONE_2D.COMPUTE_DTYPE: 'bf16' runs the conv pyramid in bfloat16
+    (f32 params/BN stats, bf16 activations) — the bulk-FLOPs path rides the
+    MXU at double rate and half HBM traffic. AP impact bounded by the A/B in
+    tests/test_topk_ap_ab.py."""
+    name = str(model_cfg.get('COMPUTE_DTYPE', 'fp32')).lower()
+    return jnp.bfloat16 if name in ('bf16', 'bfloat16') else None
+
+
 class _Block(nn.Module):
     """One pyramid level: strided conv + LAYER_NUMS stride-1 convs."""
 
     features: int
     stride: int
     layer_num: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = ConvBNReLU(self.features, stride=self.stride)(x, train)
+        x = ConvBNReLU(self.features, stride=self.stride, dtype=self.dtype)(x, train)
         for _ in range(self.layer_num):
-            x = ConvBNReLU(self.features)(x, train)
+            x = ConvBNReLU(self.features, dtype=self.dtype)(x, train)
         return x
 
 
@@ -54,17 +64,20 @@ class BaseBEVBackbone(nn.Module):
         upsample_strides = list(self.model_cfg.get('UPSAMPLE_STRIDES', []))
         num_upsample = list(self.model_cfg.get('NUM_UPSAMPLE_FILTERS', []))
 
+        dt = _compute_dtype(self.model_cfg)
         x = batch_dict['spatial_features']
         ups = []
         for i in range(len(layer_nums)):
-            x = _Block(num_filters[i], layer_strides[i], layer_nums[i])(x, train)
+            x = _Block(num_filters[i], layer_strides[i], layer_nums[i],
+                       dtype=dt)(x, train)
             if upsample_strides:
                 s = upsample_strides[i]
                 if s >= 1:
-                    ups.append(DeconvBNReLU(num_upsample[i], int(s))(x, train))
+                    ups.append(DeconvBNReLU(num_upsample[i], int(s), dtype=dt)(x, train))
                 else:
                     ups.append(ConvBNReLU(num_upsample[i], kernel_size=int(round(1 / s)),
-                                          stride=int(round(1 / s)), padding=0)(x, train))
+                                          stride=int(round(1 / s)), padding=0,
+                                          dtype=dt)(x, train))
             else:
                 ups.append(x)
 
@@ -98,12 +111,18 @@ class BaseBEVBackboneScale(nn.Module):
         num_upsample = list(self.model_cfg['NUM_UPSAMPLE_FILTERS'])
 
         self.sfm_layer_nums = list(self.model_cfg['SFM_LAYER_NUMS'])
-        self.blocks = [_Block(num_filters[i], layer_strides[i], layer_nums[i])
+        dt = _compute_dtype(self.model_cfg)
+        self.dt = dt
+        self.blocks = [_Block(num_filters[i], layer_strides[i], layer_nums[i],
+                              dtype=dt)
                        for i in range(len(layer_nums))]
-        self.sfm_blocks = [ConvBNReLU(num_filters[i]) for i in range(len(layer_nums))]
-        self.scale_blocks = [ConvBNReLU(num_scale[i], stride=layer_strides[i])
+        self.sfm_blocks = [ConvBNReLU(num_filters[i], dtype=dt)
+                           for i in range(len(layer_nums))]
+        self.scale_blocks = [ConvBNReLU(num_scale[i], stride=layer_strides[i],
+                                        dtype=dt)
                              for i in range(len(layer_nums))]
-        self.deblocks = [DeconvBNReLU(num_upsample[i], int(upsample_strides[i]))
+        self.deblocks = [DeconvBNReLU(num_upsample[i], int(upsample_strides[i]),
+                                      dtype=dt)
                          for i in range(len(layer_nums))]
         self.attention = SpatialAttention()
 
@@ -113,6 +132,8 @@ class BaseBEVBackboneScale(nn.Module):
         for _ in range(self.sfm_layer_nums[i]):
             t = self.sfm_blocks[i](x_att, train)
             t = self.attention(t, y, train)
+            if self.dt is not None:
+                t = t.astype(self.dt)          # keep the residual chain bf16
             x_att = t + x_att
         return x_att
 

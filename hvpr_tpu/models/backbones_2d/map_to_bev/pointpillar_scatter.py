@@ -26,12 +26,25 @@ from ....ops.scatter import scatter_to_bev
 from .memory_module import MemoryUnitAgg
 
 
-def _build_canvas(features, coords, mask, ny, nx, cells_sorted):
+def _canvas_dtype(model_cfg):
+    """MAP_TO_BEV.CANVAS_DTYPE: 'bf16' emits the (inference) BEV canvas in
+    bfloat16 — the canvas write is the largest single HBM transfer on the
+    eval path and the kernel is DMA-bound, so half-width halves its cost.
+    AP impact bounded by tests/test_topk_ap_ab.py."""
+    name = str(model_cfg.get('CANVAS_DTYPE', 'fp32')).lower()
+    return jnp.bfloat16 if name in ('bf16', 'bfloat16') else jnp.float32
+
+
+def _build_canvas(features, coords, mask, ny, nx, cells_sorted,
+                  out_dtype=jnp.float32):
     """Sorted device-path pillars use the Pallas tile-window canvas kernel;
     host-voxelized (first-occurrence order) pillars use the generic scatter."""
     if cells_sorted:
-        return canvas_from_sorted(features, coords, mask, ny, nx)
-    return scatter_to_bev(features, coords, mask, ny, nx)
+        return canvas_from_sorted(features, coords, mask, ny, nx,
+                                  out_dtype=out_dtype)
+    if out_dtype != jnp.float32:
+        features = features.astype(out_dtype)
+    return scatter_to_bev(features, coords, mask, ny, nx).astype(out_dtype)
 
 
 class PointPillarScatter(nn.Module):
@@ -46,7 +59,9 @@ class PointPillarScatter(nn.Module):
         assert nz == 1
         bev = _build_canvas(batch_dict['pillar_features'], batch_dict['voxel_coords'],
                             batch_dict['voxel_mask'], ny, nx,
-                            cells_sorted='flat_points' in batch_dict and not train)
+                            cells_sorted='flat_points' in batch_dict and not train,
+                            out_dtype=(_canvas_dtype(self.model_cfg)
+                                       if not train else jnp.float32))
         batch_dict['spatial_features'] = bev
         return batch_dict
 
@@ -158,7 +173,8 @@ class PointPillarScatterAggMemory1Scale(nn.Module):
             # one fused canvas write for [pillar | memory | scale] channels
             fused = jnp.concatenate([pillars, mem['output'], scale], axis=-1)
             canvas = _build_canvas(fused, coords, vmask, ny, nx,
-                                   cells_sorted='flat_points' in batch_dict)
+                                   cells_sorted='flat_points' in batch_dict,
+                                   out_dtype=_canvas_dtype(self.model_cfg))
             c_main = pillars.shape[-1] + mem['output'].shape[-1]
             batch_dict['spatial_features'] = canvas[..., :c_main]
             batch_dict['spatial_scale_features'] = canvas[..., c_main:]

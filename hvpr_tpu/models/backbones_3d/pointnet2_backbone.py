@@ -18,21 +18,33 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...ops import pointnet2 as pn2
-from ..model_utils.layers import MaskedBatchNorm
+from ..model_utils.layers import DenseT, MaskedBatchNorm
 
 
 class SharedMLP(nn.Module):
-    """Per-point MLP (Dense + masked BN + ReLU stack)."""
+    """Per-point MLP (Dense + masked BN + ReLU stack).
+
+    Runs channel-major internally ((C, R) with R = all flattened rows): the
+    small channel dims (C <= 67 through the MSG stacks) would tile-pad the
+    128-lane axis ~2x in row-major layout; transposing once at entry/exit
+    puts the ~500k-row axis on the lanes instead — the same layout fix the
+    flat VFE uses. Parameters are nn.Dense/row-major compatible (DenseT
+    shares the 'Dense_i' checkpoint slots).
+    """
 
     channels: Sequence[int]
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        for ch in self.channels:
-            x = nn.Dense(ch, use_bias=False)(x)
-            x = MaskedBatchNorm()(x, mask, train)
-            x = nn.relu(x)
-        return x
+        lead = x.shape[:-1]
+        x_t = x.reshape(-1, x.shape[-1]).T                   # (C, R)
+        m = mask.reshape(-1)
+        for i, ch in enumerate(self.channels):
+            x_t = DenseT(ch, name=f'Dense_{i}')(x_t)
+            x_t = MaskedBatchNorm(name=f'MaskedBatchNorm_{i}')(
+                x_t, m, train, transposed=True)
+            x_t = nn.relu(x_t)
+        return x_t.T.reshape(*lead, self.channels[-1])
 
 
 class SAModuleMSG(nn.Module):

@@ -87,7 +87,13 @@ class DenseT(nn.Module):
 
 
 class ConvBNReLU(nn.Module):
-    """3x3-style conv + BN + ReLU block (NHWC), torch-compatible padding."""
+    """3x3-style conv + BN + ReLU block (NHWC), torch-compatible padding.
+
+    ``dtype=jnp.bfloat16`` runs the conv in bf16 (f32 params, f32 BN
+    statistics) and emits bf16 activations — on TPU the BN/ReLU/cast fuse
+    into the conv epilogue, so the HBM-resident tensor between blocks is
+    half-width. Enabled by BACKBONE_2D.COMPUTE_DTYPE.
+    """
 
     features: int
     kernel_size: int = 3
@@ -95,16 +101,19 @@ class ConvBNReLU(nn.Module):
     padding: int = 1
     use_relu: bool = True
     use_bn: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         pad = ((self.padding, self.padding), (self.padding, self.padding))
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride), padding=pad,
-                    use_bias=not self.use_bn)(x)
+                    use_bias=not self.use_bn, dtype=self.dtype)(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -115,11 +124,14 @@ class DeconvBNReLU(nn.Module):
 
     features: int
     stride: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.ConvTranspose(self.features, (self.stride, self.stride),
                              strides=(self.stride, self.stride), padding='VALID',
-                             use_bias=False)(x)
+                             use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         return nn.relu(x)

@@ -36,23 +36,32 @@ def _kernel(win_ref, cell0_ref, cell1_ref, feat0_ref, feat1_ref, out_ref):
     t = pl.program_id(1)
     base = t * _TC
     rows = base + jax.lax.broadcasted_iota(jnp.int32, (_TC, _TC), 0)
+    exact = out_ref.dtype == jnp.float32
 
     def distribute(cell_ref, feat_ref):
-        # (TC, TC) one-hot of window rows landing in this canvas tile,
-        # f32-exact via the split-bf16 (hi + residual) product
+        # (TC, TC) one-hot of window rows landing in this canvas tile.
+        # f32 output: exact via the split-bf16 (hi + residual) product.
+        # bf16 output: the hi product alone — its error is the same input
+        # rounding the output cast would apply anyway, and it halves both
+        # the MXU work and the canvas write.
         onehot = (cell_ref[0, 0][None, :] == rows).astype(jnp.bfloat16)
         feat = feat_ref[0]
         hi = feat.astype(jnp.bfloat16)
-        lo = (feat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
-                + jnp.dot(onehot, lo, preferred_element_type=jnp.float32))
+        acc = jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
+        if exact:
+            lo = (feat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
+        return acc
 
-    out_ref[0] = (distribute(cell0_ref, feat0_ref)
-                  + distribute(cell1_ref, feat1_ref))
+    out = (distribute(cell0_ref, feat0_ref)
+           + distribute(cell1_ref, feat1_ref))
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('ny', 'nx', 'interpret'))
-def canvas_from_sorted(features, coords, mask, ny, nx, interpret=None):
+@functools.partial(jax.jit,
+                   static_argnames=('ny', 'nx', 'interpret', 'out_dtype'))
+def canvas_from_sorted(features, coords, mask, ny, nx, interpret=None,
+                       out_dtype=jnp.float32):
     """Dense (B, ny, nx, C) canvas from per-sample SORTED pillar cells.
 
     Args:
@@ -63,8 +72,10 @@ def canvas_from_sorted(features, coords, mask, ny, nx, interpret=None):
         mask: (B, V) validity.
         ny, nx: static grid.
         interpret: force Pallas interpret mode (tests).
+        out_dtype: canvas dtype; bfloat16 halves the dominant HBM write
+            (the kernel is DMA-bound) at input-rounding-level error.
     Returns:
-        (B, ny, nx, C) f32, zeros at empty cells.
+        (B, ny, nx, C) out_dtype, zeros at empty cells.
     """
     b, v, c = features.shape
     ncells = ny * nx
@@ -74,6 +85,12 @@ def canvas_from_sorted(features, coords, mask, ny, nx, interpret=None):
 
     cell = coords[..., 1] * nx + coords[..., 2]
     cell = jnp.where(mask, cell, sentinel).astype(jnp.int32)        # (B, V)
+
+    if out_dtype == jnp.bfloat16:
+        # overlapping two-block windows make the kernel read each feature row
+        # several times (~4x the canvas write); in bf16 mode pre-cast the
+        # rows once so those repeated DMA reads are half-width as well
+        features = features.astype(jnp.bfloat16)
 
     vp = _round_up(v, _TC) + _TC                       # +1 block for w + 1
     feat_p = jnp.zeros((b, vp, c), features.dtype).at[:, :v].set(features)
@@ -90,9 +107,12 @@ def canvas_from_sorted(features, coords, mask, ny, nx, interpret=None):
 
     use_pallas = jax.default_backend() == 'tpu' or interpret
     if not use_pallas:
-        # reference semantics for non-TPU backends
+        # reference semantics for non-TPU backends; mirror the bf16 path's
+        # pre-matmul input rounding so both backends agree numerically
         from .scatter import scatter_to_bev
-        return scatter_to_bev(features, coords, mask, ny, nx)
+        if out_dtype != jnp.float32:
+            features = features.astype(out_dtype)
+        return scatter_to_bev(features, coords, mask, ny, nx).astype(out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -108,7 +128,7 @@ def canvas_from_sorted(features, coords, mask, ny, nx, interpret=None):
     canvas = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, ncells_p, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ncells_p, c), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'arbitrary')),
         interpret=bool(interpret),

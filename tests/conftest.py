@@ -10,7 +10,14 @@ import os
 
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+if '--xla_cpu_collective_call_terminate_timeout_seconds' not in flags:
+    # 8 virtual devices time-slice the host cores; large sharded test steps
+    # can reach collectives minutes apart — beyond XLA's default 20s/40s
+    # rendezvous watchdog, which would abort the process
+    flags += (' --xla_cpu_collective_call_warn_stuck_timeout_seconds=600'
+              ' --xla_cpu_collective_call_terminate_timeout_seconds=3600')
+os.environ['XLA_FLAGS'] = flags
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import jax  # noqa: E402

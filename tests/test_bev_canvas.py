@@ -36,6 +36,22 @@ def test_canvas_matches_scatter(c):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
 
 
+def test_canvas_bf16_emit():
+    """bf16 mode: kernel output equals the bf16-rounded scatter reference."""
+    rng = np.random.default_rng(2)
+    b, v, c = 2, 512, 160
+    feat, coords, mask = _sorted_inputs(rng, b, v, c, n_valid=[500, 17])
+
+    want = np.asarray(scatter_to_bev(feat.astype(jnp.bfloat16), coords, mask,
+                                     NY, NX)).astype(np.float32)
+    got = np.asarray(canvas_from_sorted(feat, coords, mask, NY, NX,
+                                        interpret=True,
+                                        out_dtype=jnp.bfloat16))
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(got.astype(np.float32), want, rtol=1e-2,
+                               atol=1e-1)
+
+
 def test_canvas_dense_tile():
     """A fully dense region (every cell of some tiles occupied) still fits
     the two-block pillar window."""

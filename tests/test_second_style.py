@@ -9,9 +9,11 @@ from tests.test_model import TINY_GRID, make_batch, tiny_model_cfg
 
 class _FakeDataset3D:
     class_names = ['Car']
-    grid_size = (64, 32, 8)            # nx, ny, nz — dense-3D-tractable
+    # nz=24 so the z axis survives to the upstream conv_out ((3,1,1)/(2,1,1)
+    # /p0): 24 -> 12 -> 6 -> 3 -> 1 (upstream KITTI z-grid is 41 -> ... -> 2)
+    grid_size = (64, 32, 24)           # nx, ny, nz — dense-3D-tractable
     point_cloud_range = (0.0, -2.56, -2.5, 10.24, 2.56, 0.5)
-    voxel_size = (0.16, 0.16, 0.375)
+    voxel_size = (0.16, 0.16, 0.125)
 
 
 def test_second_pipeline_forward():

@@ -164,6 +164,67 @@ def test_partial_load_semantics(tiny_variables):
     assert len(report['loaded']) >= n_leaves - 3
 
 
+@pytest.fixture(scope='module')
+def flagship_variables():
+    """abstract (eval_shape) variables of the FULL hvpr.yaml model —
+    every reference module at flagship sizes (VERDICT r2 #9)."""
+    from hvpr_tpu.config import ConfigDict, cfg_from_yaml_file
+    from hvpr_tpu.models import build_network
+
+    cfg = ConfigDict()
+    cfg_from_yaml_file('tools/cfgs/kitti_models/hvpr.yaml', cfg)
+
+    class _DS:
+        class_names = ['Car']
+        point_cloud_range = np.asarray(
+            cfg['DATA_CONFIG']['POINT_CLOUD_RANGE'], np.float32)
+        voxel_size = np.asarray([0.16, 0.16, 3.0], np.float32)
+        grid_size = np.asarray([296, 248, 1], np.int64)
+
+    net = build_network(cfg['MODEL'], num_class=1, dataset=_DS())
+    b, n, v, p = 1, 16384, 16000, 32
+    spec = {
+        'points': jax.ShapeDtypeStruct((b, n, 4), jnp.float32),
+        'point_valid_mask': jax.ShapeDtypeStruct((b, n), jnp.bool_),
+        'voxels': jax.ShapeDtypeStruct((b, v, p, 4), jnp.float32),
+        'voxel_num_points': jax.ShapeDtypeStruct((b, v), jnp.int32),
+        'voxel_coords': jax.ShapeDtypeStruct((b, v, 3), jnp.int32),
+        'voxel_mask': jax.ShapeDtypeStruct((b, v), jnp.bool_),
+        'gt_boxes': jax.ShapeDtypeStruct((b, 8, 8), jnp.float32),
+    }
+    return jax.eval_shape(
+        lambda b: net.module.init({'params': jax.random.PRNGKey(0)}, b,
+                                  train=True), spec)
+
+
+@pytest.mark.slow
+def test_flagship_every_leaf_maps(flagship_variables):
+    unmapped = [
+        '/'.join(parts) for parts, _ in _flat_paths(flagship_variables)
+        if torch_ckpt.flax_path_to_torch_key(parts) is None
+    ]
+    assert not unmapped, unmapped
+
+
+@pytest.mark.slow
+def test_flagship_full_import(flagship_variables):
+    """A reference-keyed state dict at flagship sizes loads completely:
+    memory 2000x64, PointNet2MSG MSG stacks, 3-level BEV pyramid + SFM,
+    scale stream, head convs — no unmatched or leftover keys."""
+    rng = np.random.default_rng(11)
+    state = _synthetic_state_dict(flagship_variables, rng)
+    # the flagship memory table must be present at reference size
+    assert state['map_to_bev_module.memory.weight'].shape == (2000, 64)
+    assert any(k.startswith('backbone_3d.SA_modules.1.mlps.1') for k in state)
+    assert any(k.startswith('backbone_2d.deblocks.2') for k in state)
+
+    new_vars, report = torch_ckpt.import_torch_state(flagship_variables, state)
+    n_leaves = len(list(_flat_paths(flagship_variables)))
+    assert len(report['loaded']) == n_leaves
+    assert not report['missing'] and not report['mismatched']
+    assert not report['unused_torch_keys']
+
+
 def test_pth_roundtrip(tmp_path, tiny_variables):
     """Write a reference-style checkpoint wrapper and load via the file API."""
     rng = np.random.default_rng(9)

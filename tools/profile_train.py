@@ -83,8 +83,15 @@ def main():
     sync = time.time() - t0
 
     per_step = (total - sync) / n_iter
-    print(f'train step: {per_step * 1e3:.1f} ms (batch {BATCH}) '
-          f'-> {BATCH / per_step:.1f} scans/s')
+    # one JSON line so training speed is a recorded artifact (VERDICT r2 #5)
+    import json
+    print(json.dumps({
+        'metric': 'hvpr_train_step_ms',
+        'value': round(per_step * 1e3, 1),
+        'unit': 'ms/step',
+        'batch': BATCH,
+        'scans_per_sec': round(BATCH / per_step, 1),
+    }))
 
 
 if __name__ == '__main__':
