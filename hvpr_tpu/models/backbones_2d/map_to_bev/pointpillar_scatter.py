@@ -91,19 +91,23 @@ def attentive_point_pooling(points, point_mask, pillars, k, chunk=2048):
 
     neg = jnp.where(point_mask, 0.0, -1e9)                    # (B, N)
 
-    @jax.checkpoint
     def process(pillar_chunk):                                # (B, chunk, C)
-        # remat: the (N, chunk) attention scores would otherwise be saved for
-        # backward across all chunks (~4 GB per 4-scan batch); recomputing
-        # them in the backward pass trades ~15% extra flops for that memory
-        score = jnp.einsum('bnc,bvc->bnv', points, pillar_chunk) + neg[..., None]
-        score = jax.nn.softmax(score, axis=1)                 # over points
+        # the reference softmaxes the scores before its top-k, but softmax is
+        # monotonic along the selection axis — the RAW scores give identical
+        # indices, so the exp/renorm passes over the (chunk, N) matrix are
+        # dead weight and are dropped. Computed directly in (chunk, N)
+        # orientation (no HBM transpose). No remat: nothing differentiable
+        # flows through the score matrix (indices are ints, aggregation
+        # weights are stop_gradient), so backward never recomputes the
+        # matmul and the saved residuals are just idx/pts.
+        score_t = (jnp.einsum('bvc,bnc->bvn', pillar_chunk, points)
+                   + neg[:, None, :])                         # (B, chunk, N)
+        bb, vv, nn = score_t.shape
         # approx_max_k on a 2D flatten: full top_k sorts the 16384-point axis
         # per pillar and dominates the step (see memory_module eval notes)
-        score_t = jax.lax.stop_gradient(score.transpose(0, 2, 1))
-        bb, vv, nn = score_t.shape
         _, idx = jax.lax.approx_max_k(
-            score_t.reshape(bb * vv, nn), k, recall_target=0.95)
+            jax.lax.stop_gradient(score_t).reshape(bb * vv, nn), k,
+            recall_target=0.95)
         idx = idx.reshape(bb, vv, k)                          # (B, chunk, k)
         pts = jnp.take_along_axis(points[:, None, :, :],
                                   idx[..., None], axis=2)      # (B, chunk, k, C)

@@ -30,6 +30,8 @@ class MixAnchorMemory(Detector3DTemplate):
         if train:
             # point stream runs only in training (pointpillar.py:43-45 vs 54-55)
             batch_dict = self.backbone_3d(batch_dict, train)
+            if upto == 'backbone_3d':
+                return batch_dict
         for name, stage in (('vfe', self.vfe), ('map_to_bev', self.map_to_bev),
                             ('backbone_2d', self.backbone_2d),
                             ('dense_head', self.dense_head)):
