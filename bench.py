@@ -31,7 +31,13 @@ from hvpr_tpu.config import cfg_from_yaml_file, ConfigDict
 from hvpr_tpu.models import build_network
 from hvpr_tpu.ops.voxelizer import voxelize_batch_flat
 
-BATCH = int(os.environ.get('BENCH_BATCH', '16'))
+# serving batch: measured optimum on one v5e chip. Throughput is NOT
+# monotonic in batch (round-3 sweep, scans/sec: b4 322, b8 359-383, b16 332,
+# b24 291, b32 277): beyond b8 the flat-VFE channel-major pipeline falls off
+# an XLA fusion regime (decorate+segment sweeps jump ~9x from b8 to b16 on
+# identical code; docs/DESIGN.md round-3 notes), so larger batches lose more
+# in the VFE than they amortize elsewhere.
+BATCH = int(os.environ.get('BENCH_BATCH', '8'))
 N_POINTS = 16384
 MAX_VOXELS = 16000
 BASELINE_SCANS_PER_SEC_PER_CHIP = 250.0
