@@ -1,0 +1,225 @@
+"""NuScenes dataset: sweeps, resampling, predictions, devkit-free eval.
+
+The reference registers NuScenesDataset without shipping its source
+(reference datasets/__init__.py:9,14; SURVEY.md §0); these tests pin the
+in-tree implementation against synthetic fixtures: known ego-motion
+transforms for sweep compensation, a long-tailed label distribution for
+balanced resampling, and hand-built detections for the center-distance AP.
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from hvpr_tpu.config import ConfigDict
+from hvpr_tpu.datasets.nuscenes.nuscenes_dataset import (
+    NuScenesDataset, boxes_lidar_to_global, transform_points)
+
+
+def _write_bin(path, pts_xyzi):
+    """nuScenes raw layout: (N, 5) float32 [x y z intensity ring]."""
+    rows = np.concatenate(
+        [pts_xyzi, np.zeros((len(pts_xyzi), 1), np.float32)], axis=1)
+    rows.astype(np.float32).tofile(str(path))
+
+
+def _dataset_cfg():
+    return ConfigDict({
+        'DATASET': 'NuScenesDataset',
+        'DATA_PATH': 'unused',
+        'VERSION': 'v1.0-mini',
+        'MAX_SWEEPS': 3,
+        'FILTER_MIN_POINTS_IN_GT': 1,
+        'BALANCED_RESAMPLING': False,
+        'POINT_CLOUD_RANGE': [-8.0, -8.0, -5.0, 8.0, 8.0, 3.0],
+        'DATA_SPLIT': {'train': 'train', 'test': 'val'},
+        'INFO_PATH': {'train': ['infos_train.pkl'], 'test': ['infos_val.pkl']},
+        'POINT_FEATURE_ENCODING': {
+            'encoding_type': 'absolute_coordinates_encoding',
+            'used_feature_list': ['x', 'y', 'z', 'intensity', 'timestamp'],
+            'src_feature_list': ['x', 'y', 'z', 'intensity', 'timestamp'],
+        },
+        'DATA_AUGMENTOR': {
+            'DISABLE_AUG_LIST': ['placeholder'],
+            'AUG_CONFIG_LIST': [
+                {'NAME': 'random_world_flip', 'ALONG_AXIS_LIST': ['x']},
+            ],
+        },
+        'DATA_PROCESSOR': [
+            {'NAME': 'mask_points_and_boxes_outside_range',
+             'REMOVE_OUTSIDE_BOXES': True},
+            {'NAME': 'shuffle_points',
+             'SHUFFLE_ENABLED': {'train': False, 'test': False}},
+            {'NAME': 'transform_points_to_voxels',
+             'VOXEL_SIZE': [0.5, 0.5, 8.0],
+             'MAX_POINTS_PER_VOXEL': 8,
+             'MAX_NUMBER_OF_VOXELS': {'train': 512, 'test': 512}},
+        ],
+    })
+
+
+@pytest.fixture
+def nusc_root(tmp_path):
+    """Two-sample synthetic split with one ego-translated sweep each."""
+    root = tmp_path / 'nuscenes' / 'v1.0-mini'
+    (root / 'samples').mkdir(parents=True)
+    (root / 'sweeps').mkdir()
+    rng = np.random.default_rng(7)
+
+    infos = []
+    for s in range(2):
+        ref = rng.uniform(-6, 6, (64, 4)).astype(np.float32)
+        ref[:, 3] = rng.uniform(0, 1, 64)
+        _write_bin(root / 'samples' / f'ref_{s}.bin', ref)
+
+        sweep = rng.uniform(-6, 6, (32, 4)).astype(np.float32)
+        _write_bin(root / 'sweeps' / f'sw_{s}.bin', sweep)
+        tm = np.eye(4, dtype=np.float32)
+        tm[:3, 3] = [1.0, -2.0, 0.1]  # known ego displacement
+
+        ref_to_global = np.eye(4, dtype=np.float32)
+        ref_to_global[:3, 3] = [100.0 + s, 50.0, 0.0]
+
+        infos.append({
+            'lidar_path': f'samples/ref_{s}.bin',
+            'token': f'tok{s}',
+            'timestamp': 1e5 + s,
+            'ref_to_global': ref_to_global,
+            'sweeps': [{'lidar_path': f'sweeps/sw_{s}.bin',
+                        'transform_matrix': tm, 'time_lag': 0.05}],
+            'gt_boxes': np.array([[2.0, 1.0, 0.0, 4.0, 2.0, 1.5, 0.3],
+                                  [-3.0, -2.0, 0.0, 4.0, 2.0, 1.5, -0.4]],
+                                 np.float32),
+            'gt_names': np.array(['car', 'truck']),
+            'num_lidar_pts': np.array([10, 10]),
+        })
+    for name in ('infos_train.pkl', 'infos_val.pkl'):
+        with open(root / name, 'wb') as f:
+            pickle.dump(infos, f)
+    return root.parent
+
+
+def test_sweep_aggregation_and_getitem(nusc_root):
+    ds = NuScenesDataset(_dataset_cfg(), class_names=['car', 'truck'],
+                         training=False, root_path=nusc_root)
+    assert len(ds) == 2
+
+    pts = ds.get_lidar_with_sweeps(0, max_sweeps=3)
+    assert pts.shape[1] == 5
+    # ref points carry time 0, sweep points the stored lag
+    lags = np.unique(pts[:, 4])
+    assert np.allclose(sorted(lags), [0.0, 0.05])
+
+    # the sweep block must equal raw sweep points shifted by the transform
+    raw = np.fromfile(
+        str(nusc_root / 'v1.0-mini' / 'sweeps' / 'sw_0.bin'),
+        np.float32).reshape(-1, 5)[:, :4]
+    keep = ~((np.abs(raw[:, 0]) < 1.0) & (np.abs(raw[:, 1]) < 1.0))
+    expected = raw[keep][:, :3] + np.array([1.0, -2.0, 0.1])
+    got = pts[pts[:, 4] > 0][:, :3]
+    assert got.shape == expected.shape
+    assert np.allclose(got, expected, atol=1e-5)
+
+    item = ds[0]
+    assert item['voxels'].shape[1:] == (8, 5)
+    assert item['voxel_coords'].shape[1] == 3
+    assert item['gt_boxes'].shape[1] == 8  # 7 + class id column
+    assert item['metadata']['token'] == 'tok0'
+
+
+def test_training_path_and_collate(nusc_root):
+    ds = NuScenesDataset(_dataset_cfg(), class_names=['car', 'truck'],
+                         training=True, root_path=nusc_root)
+    batch = ds.collate_batch([ds[0], ds[1]])
+    assert batch['voxels'].shape[0] == 2
+    assert batch['gt_boxes'].shape[0] == 2
+    assert [m['token'] for m in batch['metadata']] == ['tok0', 'tok1']
+
+
+def test_balanced_resampling(nusc_root):
+    cfg = _dataset_cfg()
+    cfg['BALANCED_RESAMPLING'] = True
+    np.random.seed(0)
+    ds = NuScenesDataset(cfg, class_names=['car', 'truck'],
+                         training=True, root_path=nusc_root)
+    # both samples contain both classes: resampling keeps total count stable
+    assert len(ds.infos) == 4  # 2 buckets x 2 infos each (frac 1/2)
+
+
+def test_min_points_filter(nusc_root):
+    cfg = _dataset_cfg()
+    cfg['FILTER_MIN_POINTS_IN_GT'] = 11  # above the stored 10
+    ds = NuScenesDataset(cfg, class_names=['car', 'truck'],
+                         training=False, root_path=nusc_root)
+    item = ds[0]
+    assert (item['gt_boxes'][:, 3] > 0).sum() == 0 or \
+        len(item['gt_boxes']) == 0
+
+
+def test_global_frame_predictions(nusc_root):
+    ds = NuScenesDataset(_dataset_cfg(), class_names=['car', 'truck'],
+                         training=False, root_path=nusc_root)
+    boxes = np.array([[2.0, 1.0, 0.0, 4.0, 2.0, 1.5, 0.3]], np.float32)
+    annos = ds.generate_prediction_dicts(
+        {'metadata': [{'token': 'tok1'}]},
+        [{'pred_scores': np.array([0.9]), 'pred_boxes': boxes,
+          'pred_labels': np.array([1])}],
+        class_names=['car', 'truck'])
+    results = ds.annos_to_nusc_results(annos)
+    det = results['tok1'][0]
+    # ref_to_global for sample 1 translates by (101, 50, 0)
+    assert np.allclose(det['translation'], [103.0, 51.0, 0.0], atol=1e-5)
+    assert det['size'] == [2.0, 4.0, 1.5]  # (w, l, h) order
+    q = det['rotation']
+    assert np.isclose(2 * np.arctan2(q[3], q[0]), 0.3, atol=1e-6)
+    assert det['detection_name'] == 'car'
+
+
+def test_transform_round_trip():
+    rng = np.random.default_rng(3)
+    yaw = 0.7
+    tm = np.eye(4, dtype=np.float32)
+    tm[:2, :2] = [[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]]
+    tm[:3, 3] = [5.0, -1.0, 2.0]
+    boxes = np.concatenate([
+        rng.uniform(-5, 5, (4, 3)), rng.uniform(1, 3, (4, 3)),
+        rng.uniform(-np.pi, np.pi, (4, 1))], axis=1).astype(np.float32)
+    out = boxes_lidar_to_global(boxes, tm)
+    assert np.allclose(out[:, :3], transform_points(boxes[:, :3], tm), atol=1e-5)
+    assert np.allclose(out[:, 6], boxes[:, 6] + yaw, atol=1e-5)
+
+
+def test_center_distance_ap(nusc_root):
+    ds = NuScenesDataset(_dataset_cfg(), class_names=['car', 'truck'],
+                         training=False, root_path=nusc_root)
+    # perfect predictions: every gt reproduced with high score
+    det_annos = []
+    for info in ds.infos:
+        det_annos.append({
+            'name': np.asarray(info['gt_names']),
+            'score': np.array([0.9, 0.8]),
+            'boxes_lidar': np.asarray(info['gt_boxes']),
+            'pred_labels': np.array([1, 2]),
+            'metadata': {'token': info['token']},
+        })
+    result_str, result_dict = ds.evaluation(det_annos, ['car', 'truck'])
+    assert result_dict['car/mAP'] == pytest.approx(1.0)
+    assert result_dict['truck/mAP'] == pytest.approx(1.0)
+
+    # far-off predictions match nothing
+    bad = [{**a, 'boxes_lidar': a['boxes_lidar'] + np.array(
+        [50.0, 50.0, 0, 0, 0, 0, 0], np.float32)} for a in det_annos]
+    _, bad_dict = ds.evaluation(bad, ['car', 'truck'])
+    assert bad_dict['car/mAP'] == 0.0
+
+
+def test_yaml_config_loads():
+    import os
+    from hvpr_tpu.config import cfg_from_yaml_file
+    cfg = ConfigDict()
+    path = os.path.join(os.path.dirname(__file__), '..',
+                        'tools/cfgs/dataset_configs/nuscenes_dataset.yaml')
+    cfg_from_yaml_file(path, cfg)
+    assert cfg['DATASET'] == 'NuScenesDataset'
+    assert cfg['MAX_SWEEPS'] == 10
