@@ -214,6 +214,19 @@ def test_center_distance_ap(nusc_root):
     assert bad_dict['car/mAP'] == 0.0
 
 
+def test_build_dataloader_registry(nusc_root):
+    from hvpr_tpu.datasets import build_dataloader
+    cfg = _dataset_cfg()
+    dataset, loader, sampler = build_dataloader(
+        dataset_cfg=cfg, class_names=['car', 'truck'], batch_size=2,
+        dist=False, root_path=nusc_root, workers=0, training=True)
+    assert isinstance(dataset, NuScenesDataset)
+    batch = next(iter(loader))
+    assert batch['batch_size'] == 2
+    assert batch['voxels'].shape[0] == 2
+    assert batch['gt_boxes'].shape[0] == 2
+
+
 def test_yaml_config_loads():
     import os
     from hvpr_tpu.config import cfg_from_yaml_file
