@@ -236,3 +236,41 @@ def test_yaml_config_loads():
     cfg_from_yaml_file(path, cfg)
     assert cfg['DATASET'] == 'NuScenesDataset'
     assert cfg['MAX_SWEEPS'] == 10
+
+
+@pytest.mark.slow
+def test_pointpillar_nuscenes_model(nusc_root):
+    """pointpillar_nuscenes.yaml end-to-end on the synthetic fixture:
+    5-channel multi-sweep points -> PillarVFE -> scatter -> backbone -> head,
+    eval forward + training loss (grid shrunk to the fixture's range)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from hvpr_tpu.config import cfg_from_yaml_file
+    from hvpr_tpu.models import build_network
+
+    cfg = ConfigDict()
+    path = os.path.join(os.path.dirname(__file__), '..',
+                        'tools/cfgs/nuscenes_models/pointpillar_nuscenes.yaml')
+    cfg_from_yaml_file(path, cfg)
+    class_names = cfg['CLASS_NAMES']
+
+    data_cfg = _dataset_cfg()  # small-range override for CPU speed
+    ds = NuScenesDataset(data_cfg, class_names=class_names, training=True,
+                         root_path=nusc_root)
+    batch_np = ds.collate_batch([ds[0], ds[1]])
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k not in ('batch_size', 'frame_id', 'metadata')}
+    assert batch['voxels'].shape[-1] == 5  # x y z intensity time
+
+    net = build_network(cfg['MODEL'], num_class=len(class_names), dataset=ds)
+    variables = net.init(jax.random.PRNGKey(0), batch, train=True)
+
+    out = net.module.apply(variables, batch, train=False)
+    n_anchor_cols = len(class_names)
+    assert out['batch_cls_preds'].shape[-1] == n_anchor_cols
+    assert out['batch_box_preds'].shape[-1] == 7
+    assert np.all(np.isfinite(np.asarray(out['batch_cls_preds'])))
+
+    loss, _ = net.train_forward(variables, batch)
+    assert np.isfinite(float(loss))
