@@ -401,14 +401,46 @@ class NuScenesDataset(DatasetTemplate):
 
 
 def create_nuscenes_infos(version, data_path, save_path, max_sweeps=10):
-    """Offline info builder (requires the nuscenes devkit)."""
+    """Offline info builder: raw nuScenes database -> split info pickles.
+
+    The database walk needs the nuscenes devkit; all geometry (pose
+    composition, sweep transforms, global->lidar boxes) lives devkit-free and
+    unit-tested in :mod:`.nuscenes_utils`.
+    """
     try:
-        from nuscenes import NuScenes  # noqa: F401
+        from nuscenes import NuScenes
+        from nuscenes.utils import splits
     except ImportError as e:
         raise ImportError(
             'create_nuscenes_infos requires the nuscenes devkit '
             '(pip install nuscenes-devkit); the runtime dataset only needs '
             'the pickles it produces.') from e
-    raise NotImplementedError(
-        'Info building against the raw nuScenes database is environment-'
-        'gated; see include_nuscenes_data for the pickle schema to produce.')
+    from .nuscenes_utils import fill_infos
+
+    nusc = NuScenes(version=version, dataroot=str(data_path), verbose=True)
+    split_names = {
+        'v1.0-trainval': (splits.train, splits.val),
+        'v1.0-test': (splits.test, []),
+        'v1.0-mini': (splits.mini_train, splits.mini_val),
+    }[version]
+    scene_to_split = {}
+    for scene in nusc.scene:
+        if scene['name'] in split_names[0]:
+            scene_to_split[scene['token']] = 0
+        elif scene['name'] in split_names[1]:
+            scene_to_split[scene['token']] = 1
+    tokens = ([], [])
+    for sample in nusc.sample:
+        split = scene_to_split.get(sample['scene_token'])
+        if split is not None:
+            tokens[split].append(sample['token'])
+
+    save_path = Path(save_path)
+    for split, name in ((0, 'train'), (1, 'val')):
+        if not tokens[split]:
+            continue
+        infos = fill_infos(nusc, tokens[split], max_sweeps=max_sweeps)
+        out = save_path / f'nuscenes_infos_{max_sweeps}sweeps_{name}.pkl'
+        with open(out, 'wb') as f:
+            pickle.dump(infos, f)
+        print(f'{name}: {len(infos)} infos -> {out}')

@@ -227,6 +227,140 @@ def test_build_dataloader_registry(nusc_root):
     assert batch['gt_boxes'].shape[0] == 2
 
 
+def _rand_pose(rng):
+    ax = rng.normal(size=3)
+    ax /= np.linalg.norm(ax)
+    ang = rng.uniform(-np.pi, np.pi)
+    q = np.concatenate([[np.cos(ang / 2)], np.sin(ang / 2) * ax])
+    return {'translation': rng.uniform(-10, 10, 3).tolist(),
+            'rotation': q.tolist()}
+
+
+def test_pose_math():
+    from hvpr_tpu.datasets.nuscenes import nuscenes_utils as nu
+    rng = np.random.default_rng(11)
+    pose = _rand_pose(rng)
+    tm = nu.pose_to_matrix(pose)
+    inv = nu.pose_to_matrix(pose, inverse=True)
+    assert np.allclose(tm @ inv, np.eye(4), atol=1e-10)
+    # rotation matrix is orthonormal with det +1
+    r = tm[:3, :3]
+    assert np.allclose(r @ r.T, np.eye(3), atol=1e-10)
+    assert np.isclose(np.linalg.det(r), 1.0)
+    # pure-yaw quaternion round-trips through quaternion_yaw
+    yaw = 1.1
+    q = [np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)]
+    assert np.isclose(nu.quaternion_yaw(q), yaw, atol=1e-12)
+
+
+def test_sweep_to_ref_transform_oracle():
+    """Composed sweep->ref matrix must equal mapping a point through each
+    frame hop explicitly."""
+    from hvpr_tpu.datasets.nuscenes import nuscenes_utils as nu
+    rng = np.random.default_rng(5)
+    ref_cs, ref_pose = _rand_pose(rng), _rand_pose(rng)
+    sw_cs, sw_pose = _rand_pose(rng), _rand_pose(rng)
+    p_sweep = rng.uniform(-5, 5, 3)
+
+    def apply(pose, p):
+        return nu.quaternion_to_rotation(pose['rotation']) @ p + \
+            np.asarray(pose['translation'])
+
+    def unapply(pose, p):
+        r = nu.quaternion_to_rotation(pose['rotation'])
+        return r.T @ (p - np.asarray(pose['translation']))
+
+    p_global = apply(sw_pose, apply(sw_cs, p_sweep))
+    expected = unapply(ref_cs, unapply(ref_pose, p_global))
+
+    tm = nu.sweep_to_ref_transform(ref_cs, ref_pose, sw_cs, sw_pose)
+    got = tm[:3, :3] @ p_sweep + tm[:3, 3]
+    assert np.allclose(got, expected, atol=1e-9)
+
+    # ref_to_global is the exact inverse chain
+    rg = nu.ref_to_global_transform(ref_cs, ref_pose)
+    assert np.allclose(rg @ nu.sweep_to_ref_transform(
+        ref_cs, ref_pose, sw_cs, sw_pose),
+        nu.pose_to_matrix(sw_pose) @ nu.pose_to_matrix(sw_cs), atol=1e-9)
+
+
+def test_global_boxes_to_lidar_round_trip():
+    """global_boxes_to_lidar composed with the dataset's
+    boxes_lidar_to_global must reproduce the global annotation (for yaw-only
+    ego orientations, where box yaw composition is exact)."""
+    from hvpr_tpu.datasets.nuscenes import nuscenes_utils as nu
+    rng = np.random.default_rng(9)
+    yaw_ego = 0.8
+    ref_cs = {'translation': [1.0, -0.5, 1.8],
+              'rotation': [np.cos(0.2), 0, 0, np.sin(0.2)]}
+    ref_pose = {'translation': [30.0, -12.0, 0.1],
+                'rotation': [np.cos(yaw_ego / 2), 0, 0, np.sin(yaw_ego / 2)]}
+    centers = rng.uniform(-20, 20, (5, 3))
+    sizes_wlh = rng.uniform(1, 4, (5, 3))
+    yaws = rng.uniform(-np.pi, np.pi, 5)
+
+    boxes_l = nu.global_boxes_to_lidar(centers, sizes_wlh, yaws,
+                                       ref_cs, ref_pose)
+    rg = nu.ref_to_global_transform(ref_cs, ref_pose).astype(np.float32)
+    back = boxes_lidar_to_global(boxes_l, rg)
+    assert np.allclose(back[:, :3], centers, atol=1e-4)
+    assert np.allclose(back[:, 3], sizes_wlh[:, 1], atol=1e-6)  # l
+    assert np.allclose(back[:, 4], sizes_wlh[:, 0], atol=1e-6)  # w
+    dyaw = (back[:, 6] - yaws + np.pi) % (2 * np.pi) - np.pi
+    assert np.allclose(dyaw, 0, atol=1e-4)
+
+
+class _MockNusc:
+    """Minimal devkit stand-in: flat token->record tables."""
+
+    def __init__(self, tables):
+        self.tables = tables
+
+    def get(self, table, token):
+        return self.tables[table][token]
+
+
+def test_fill_infos_with_mock_devkit(tmp_path):
+    """fill_infos walked over a mock database produces infos the dataset
+    can consume directly (schema + sweep-transform consistency)."""
+    from hvpr_tpu.datasets.nuscenes import nuscenes_utils as nu
+    rng = np.random.default_rng(2)
+    ref_cs, ref_pose = _rand_pose(rng), _rand_pose(rng)
+    sw_cs, sw_pose = _rand_pose(rng), _rand_pose(rng)
+
+    tables = {
+        'sample': {'s0': {'data': {'LIDAR_TOP': 'sd0'}, 'anns': ['a0'],
+                          'scene_token': 'sc0'}},
+        'sample_data': {
+            'sd0': {'timestamp': 2_000_000, 'filename': 'samples/x.bin',
+                    'calibrated_sensor_token': 'cs0', 'ego_pose_token': 'ep0',
+                    'prev': 'sd1'},
+            'sd1': {'timestamp': 1_950_000, 'filename': 'sweeps/y.bin',
+                    'calibrated_sensor_token': 'cs1', 'ego_pose_token': 'ep1',
+                    'prev': ''},
+        },
+        'calibrated_sensor': {'cs0': ref_cs, 'cs1': sw_cs},
+        'ego_pose': {'ep0': ref_pose, 'ep1': sw_pose},
+        'sample_annotation': {'a0': {
+            'translation': [5.0, 2.0, 0.5], 'size': [2.0, 4.5, 1.7],
+            'rotation': [np.cos(0.3), 0, 0, np.sin(0.3)],
+            'category_name': 'car', 'num_lidar_pts': 42}},
+    }
+    infos = nu.fill_infos(_MockNusc(tables), ['s0'], max_sweeps=10)
+    assert len(infos) == 1
+    info = infos[0]
+    assert info['lidar_path'] == 'samples/x.bin'
+    assert len(info['sweeps']) == 1
+    assert np.isclose(info['sweeps'][0]['time_lag'], 0.05)
+    assert np.allclose(
+        info['sweeps'][0]['transform_matrix'],
+        nu.sweep_to_ref_transform(ref_cs, ref_pose, sw_cs, sw_pose),
+        atol=1e-5)
+    assert info['gt_boxes'].shape == (1, 7)
+    assert info['gt_names'][0] == 'car'
+    assert info['num_lidar_pts'][0] == 42
+
+
 def test_yaml_config_loads():
     import os
     from hvpr_tpu.config import cfg_from_yaml_file
