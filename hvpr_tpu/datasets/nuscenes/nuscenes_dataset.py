@@ -444,3 +444,20 @@ def create_nuscenes_infos(version, data_path, save_path, max_sweeps=10):
         with open(out, 'wb') as f:
             pickle.dump(infos, f)
         print(f'{name}: {len(infos)} infos -> {out}')
+
+
+if __name__ == '__main__':
+    import sys
+    import yaml
+    from ...config import ConfigDict
+
+    if len(sys.argv) > 1 and sys.argv[1] == 'create_nuscenes_infos':
+        dataset_cfg = ConfigDict(yaml.safe_load(open(sys.argv[2])))
+        ROOT_DIR = Path(__file__).resolve().parent.parent.parent.parent
+        create_nuscenes_infos(
+            version=dataset_cfg.get('VERSION', 'v1.0-trainval'),
+            data_path=ROOT_DIR / 'data' / 'nuscenes' /
+            dataset_cfg.get('VERSION', 'v1.0-trainval'),
+            save_path=ROOT_DIR / 'data' / 'nuscenes' /
+            dataset_cfg.get('VERSION', 'v1.0-trainval'),
+            max_sweeps=int(dataset_cfg.get('MAX_SWEEPS', 10)))
