@@ -105,23 +105,32 @@ def main():
     out = pipeline(net.variables, scans, pmask)
     _ = jax.device_get(out.ravel()[0])
 
+    # median of N timed windows: single-window numbers spread ~6% run-to-run
+    # on a shared host (round-2 saw 300-318 for identical code), so the
+    # number of record is the median, with the window spread reported
     n_iter = int(os.environ.get('BENCH_ITERS', '20'))
-    t0 = time.time()
-    for _ in range(n_iter):
-        out = pipeline(net.variables, scans, pmask)
-    _ = jax.device_get(out.ravel()[0])
-    total = time.time() - t0
-    t0 = time.time()
-    _ = jax.device_get(out.ravel()[0])
-    sync = time.time() - t0
+    n_rep = int(os.environ.get('BENCH_REPEATS', '3'))
+    rates = []
+    for _ in range(n_rep):
+        t0 = time.time()
+        for _ in range(n_iter):
+            out = pipeline(net.variables, scans, pmask)
+        _ = jax.device_get(out.ravel()[0])
+        total = time.time() - t0
+        t0 = time.time()
+        _ = jax.device_get(out.ravel()[0])
+        sync = time.time() - t0
+        rates.append(BATCH / ((total - sync) / n_iter))
 
-    per_batch = (total - sync) / n_iter
-    scans_per_sec = BATCH / per_batch
+    scans_per_sec = float(np.median(rates))
     print(json.dumps({
         'metric': 'hvpr_inference_scans_per_sec_per_chip',
         'value': round(scans_per_sec, 2),
         'unit': 'scans/sec',
         'vs_baseline': round(scans_per_sec / BASELINE_SCANS_PER_SEC_PER_CHIP, 3),
+        'window_min': round(min(rates), 2),
+        'window_max': round(max(rates), 2),
+        'windows': n_rep,
     }))
 
 
