@@ -217,13 +217,15 @@ class NuScenesDataset(DatasetTemplate):
 
     # ------------------------------------------------------------- prediction
 
-    @staticmethod
-    def generate_prediction_dicts(batch_dict, pred_dicts, class_names,
+    def generate_prediction_dicts(self, batch_dict, pred_dicts, class_names,
                                   output_path=None):
         """Per-frame anno dicts (+ optional nuScenes submission json).
 
         Same row schema as the KITTI path (`name`, `score`, `boxes_lidar`,
         `pred_labels`) plus `metadata.token` so results key back to samples.
+        With ``output_path`` (tools/test.py --save_to_file), each frame's
+        global-frame submission rows are written as ``<token>.json`` —
+        the nuScenes analogue of the KITTI per-frame label txt.
         """
         annos = []
         for index, box_dict in enumerate(pred_dicts):
@@ -242,6 +244,14 @@ class NuScenesDataset(DatasetTemplate):
             if meta is not None:
                 anno['metadata'] = meta[index]
             annos.append(anno)
+
+        if output_path is not None:
+            import json
+            results = self.annos_to_nusc_results(
+                [a for a in annos if 'metadata' in a])
+            for token, frame in results.items():
+                with open(Path(output_path) / f'{token}.json', 'w') as f:
+                    json.dump(frame, f)
         return annos
 
     def annos_to_nusc_results(self, det_annos):
@@ -305,8 +315,10 @@ class NuScenesDataset(DatasetTemplate):
         from nuscenes.eval.detection.config import config_factory
         from nuscenes.eval.detection.evaluate import NuScenesEval
 
+        # root_path IS the devkit dataroot: the table dir (v1.0-*/ with the
+        # json tables) lives directly under it, matching create_nuscenes_infos
         nusc = NuScenes(version=self.dataset_cfg['VERSION'],
-                        dataroot=str(self.root_path.parent), verbose=False)
+                        dataroot=str(self.root_path), verbose=False)
         results = {
             'results': self.annos_to_nusc_results(det_annos),
             'meta': {'use_camera': False, 'use_lidar': True,
@@ -317,11 +329,11 @@ class NuScenesDataset(DatasetTemplate):
             res_path = Path(tmpdir) / 'results_nusc.json'
             with open(res_path, 'w') as f:
                 json.dump(results, f)
+            eval_set = {'v1.0-trainval': 'val', 'v1.0-mini': 'mini_val',
+                        'v1.0-test': 'test'}[self.dataset_cfg['VERSION']]
             nusc_eval = NuScenesEval(
                 nusc, config=config_factory('detection_cvpr_2019'),
-                result_path=str(res_path),
-                eval_set='val' if 'trainval' in self.dataset_cfg['VERSION']
-                else 'mini_val',
+                result_path=str(res_path), eval_set=eval_set,
                 output_dir=tmpdir, verbose=False)
             metrics = nusc_eval.main(plot_examples=0, render_curves=False)
         result_dict = {f'{k}/mAP': v for k, v in
@@ -436,8 +448,12 @@ def create_nuscenes_infos(version, data_path, save_path, max_sweeps=10):
             tokens[split].append(sample['token'])
 
     save_path = Path(save_path)
-    for split, name in ((0, 'train'), (1, 'val')):
-        if not tokens[split]:
+    # the first token bucket is the eval split itself for the test version
+    # (splits.test occupies slot 0 and there is no slot-1 split)
+    split_names_out = (('test', None) if version == 'v1.0-test'
+                       else ('train', 'val'))
+    for split, name in enumerate(split_names_out):
+        if name is None or not tokens[split]:
             continue
         infos = fill_infos(nusc, tokens[split], max_sweeps=max_sweeps)
         out = save_path / f'nuscenes_infos_{max_sweeps}sweeps_{name}.pkl'

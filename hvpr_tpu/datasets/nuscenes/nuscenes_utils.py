@@ -17,6 +17,37 @@ A pose record {'translation': t, 'rotation': q (w,x,y,z)} means
 
 import numpy as np
 
+# Official nuScenes detection-task mapping from the raw database taxonomy
+# (category_name, e.g. 'vehicle.car') to the 10 detection classes the
+# benchmark scores; non-benchmark categories map to 'ignore'. Configs name
+# the detection classes, so infos must store detection names or no gt ever
+# matches CLASS_NAMES.
+MAP_NAME_FROM_GENERAL_TO_DETECTION = {
+    'human.pedestrian.adult': 'pedestrian',
+    'human.pedestrian.child': 'pedestrian',
+    'human.pedestrian.wheelchair': 'ignore',
+    'human.pedestrian.stroller': 'ignore',
+    'human.pedestrian.personal_mobility': 'ignore',
+    'human.pedestrian.police_officer': 'pedestrian',
+    'human.pedestrian.construction_worker': 'pedestrian',
+    'animal': 'ignore',
+    'vehicle.car': 'car',
+    'vehicle.motorcycle': 'motorcycle',
+    'vehicle.bicycle': 'bicycle',
+    'vehicle.bus.bendy': 'bus',
+    'vehicle.bus.rigid': 'bus',
+    'vehicle.truck': 'truck',
+    'vehicle.construction': 'construction_vehicle',
+    'vehicle.emergency.ambulance': 'ignore',
+    'vehicle.emergency.police': 'ignore',
+    'vehicle.trailer': 'trailer',
+    'movable_object.barrier': 'barrier',
+    'movable_object.trafficcone': 'traffic_cone',
+    'movable_object.pushable_pullable': 'ignore',
+    'movable_object.debris': 'ignore',
+    'static_object.bicycle_rack': 'ignore',
+}
+
 
 def quaternion_to_rotation(q):
     """(w, x, y, z) unit quaternion -> 3x3 rotation matrix."""
@@ -130,7 +161,9 @@ def fill_infos(nusc, sample_tokens, max_sweeps=10):
             yaws = np.array([quaternion_yaw(a['rotation']) for a in anns])
             gt_boxes = global_boxes_to_lidar(centers, sizes, yaws,
                                              ref_cs, ref_pose)
-            gt_names = np.array([a['category_name'] for a in anns])
+            gt_names = np.array([
+                MAP_NAME_FROM_GENERAL_TO_DETECTION.get(
+                    a['category_name'], 'ignore') for a in anns])
             num_pts = np.array([a['num_lidar_pts'] for a in anns])
         else:
             gt_boxes = np.zeros((0, 7), np.float32)

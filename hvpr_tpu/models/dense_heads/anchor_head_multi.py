@@ -155,7 +155,8 @@ class AnchorHeadMulti(nn.Module):
 
         if train:
             targets = self.target_assigner.assign_targets(
-                self.anchors_list, batch_dict['gt_boxes'])
+                self.anchors_list, batch_dict['gt_boxes'],
+                global_step=batch_dict.get('global_step'))
             loss, tb = self.get_loss(cls_preds, box_preds, dir_preds, targets)
             batch_dict['loss'] = loss
             batch_dict['tb_dict'] = tb

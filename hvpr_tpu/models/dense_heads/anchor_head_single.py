@@ -142,7 +142,8 @@ class AnchorHeadSingle(nn.Module):
             else:
                 cls_pt = box_pt = dir_pt = None
             targets = self.target_assigner.assign_targets(
-                self.anchors_list, batch_dict['gt_boxes'])
+                self.anchors_list, batch_dict['gt_boxes'],
+                global_step=batch_dict.get('global_step'))
             loss, tb = self.get_loss(
                 cls_preds, box_preds, dir_preds, cls_pt, box_pt, dir_pt,
                 targets, batch_dict)

@@ -21,7 +21,10 @@ class ATSSTargetAssigner:
         self.box_coder = box_coder
         self.match_height = match_height
 
-    def assign_targets(self, all_anchors, gt_boxes_with_classes):
+    def assign_targets(self, all_anchors, gt_boxes_with_classes,
+                       global_step=None):
+        # global_step accepted for call-site parity with the axis-aligned
+        # assigner; ATSS matching is deterministic so it is unused
         """all_anchors: list of (nz, ny, nx, ns, nr, C); gt: (B, M, 8)."""
         flat = []
         for a in all_anchors:

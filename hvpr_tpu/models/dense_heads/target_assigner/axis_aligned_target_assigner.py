@@ -38,15 +38,22 @@ class AxisAlignedTargetAssigner:
         # axis_aligned_target_assigner.py:173-185): cap foregrounds at
         # pos_fraction*sample_size, then sample backgrounds to fill the rest
         # of the sample_size budget; everything else is ignored (-1).
-        pos_fraction = float(anchor_target_cfg.get('POS_FRACTION', -1.0) or -1.0)
+        pos_fraction = anchor_target_cfg.get('POS_FRACTION', None)
+        # explicit None check: POS_FRACTION 0.0 is a valid setting (cap fg at
+        # zero, sample only backgrounds) and must not be treated as unset
+        pos_fraction = -1.0 if pos_fraction is None else float(pos_fraction)
         self.pos_fraction = pos_fraction if pos_fraction >= 0 else None
         self.sample_size = int(anchor_target_cfg.get('SAMPLE_SIZE', 512))
 
-    def assign_targets(self, all_anchors, gt_boxes_with_classes):
+    def assign_targets(self, all_anchors, gt_boxes_with_classes,
+                       global_step=None):
         """
         Args:
             all_anchors: list of (nz, ny, nx, ns, nr, 7) arrays, one per class.
             gt_boxes_with_classes: (B, M, 8) [x..heading, class_id]; padded rows zero.
+            global_step: optional scalar train-step index; folded into the
+                POS_FRACTION subsampling seed so a repeated batch is
+                re-subsampled per visit (the reference resamples every call).
         Returns:
             dict with box_cls_labels (B, A), box_reg_targets (B, A, code),
             reg_weights (B, A) — anchor axis ordered (ny, nx, class, size, rot).
@@ -62,10 +69,12 @@ class AxisAlignedTargetAssigner:
         if self.pos_fraction is not None:
             seed = jax.lax.bitcast_convert_type(
                 jnp.sum(gt_boxes, dtype=jnp.float32), jnp.int32)
-            keys = jax.random.split(jax.random.fold_in(
-                jax.random.PRNGKey(17), seed), batch)
+            base_key = jax.random.fold_in(jax.random.PRNGKey(17), seed)
+            if global_step is not None:
+                base_key = jax.random.fold_in(
+                    base_key, jnp.asarray(global_step, jnp.int32))
         else:
-            keys = jnp.zeros((batch, 2), jnp.uint32)
+            base_key = None
 
         per_class = []
         for cls_idx, (cls_name, anchors) in enumerate(zip(self.anchor_class_names, all_anchors)):
@@ -73,6 +82,14 @@ class AxisAlignedTargetAssigner:
             flat_anchors = jnp.asarray(anchors.reshape(-1, 7))
             cls_id = self.class_names.index(cls_name) + 1
             cls_mask = gt_valid & (gt_classes == cls_id)             # (B, M)
+            if base_key is not None:
+                # fold the class index in so classes draw independent
+                # subsampling uniforms (a shared key would correlate fg/bg
+                # selection at identical flat-anchor indices across classes)
+                keys = jax.random.split(
+                    jax.random.fold_in(base_key, cls_idx), batch)
+            else:
+                keys = jnp.zeros((batch, 2), jnp.uint32)
             single = jax.vmap(
                 partial(self._assign_single,
                         flat_anchors,

@@ -65,6 +65,10 @@ def make_train_step(module, tx, mesh=None, donate=True):
     """
 
     def step_fn(state, batch):
+        # the step index gives in-step randomness (POS_FRACTION subsampling)
+        # a per-visit seed, so a repeated batch is re-subsampled each epoch
+        batch = dict(batch, global_step=state.step)
+
         def loss_fn(params):
             out, mutated = module.apply(
                 {'params': params, 'batch_stats': state.batch_stats},

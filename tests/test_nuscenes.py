@@ -157,7 +157,7 @@ def test_min_points_filter(nusc_root):
         len(item['gt_boxes']) == 0
 
 
-def test_global_frame_predictions(nusc_root):
+def test_global_frame_predictions(nusc_root, tmp_path):
     ds = NuScenesDataset(_dataset_cfg(), class_names=['car', 'truck'],
                          training=False, root_path=nusc_root)
     boxes = np.array([[2.0, 1.0, 0.0, 4.0, 2.0, 1.5, 0.3]], np.float32)
@@ -165,7 +165,12 @@ def test_global_frame_predictions(nusc_root):
         {'metadata': [{'token': 'tok1'}]},
         [{'pred_scores': np.array([0.9]), 'pred_boxes': boxes,
           'pred_labels': np.array([1])}],
-        class_names=['car', 'truck'])
+        class_names=['car', 'truck'], output_path=tmp_path)
+    # --save_to_file writes per-frame global-frame submission rows
+    import json
+    saved = json.loads((tmp_path / 'tok1.json').read_text())
+    assert saved[0]['detection_name'] == 'car'
+    assert np.allclose(saved[0]['translation'], [103.0, 51.0, 0.0], atol=1e-5)
     results = ds.annos_to_nusc_results(annos)
     det = results['tok1'][0]
     # ref_to_global for sample 1 translates by (101, 50, 0)
@@ -341,11 +346,18 @@ def test_fill_infos_with_mock_devkit(tmp_path):
         },
         'calibrated_sensor': {'cs0': ref_cs, 'cs1': sw_cs},
         'ego_pose': {'ep0': ref_pose, 'ep1': sw_pose},
-        'sample_annotation': {'a0': {
-            'translation': [5.0, 2.0, 0.5], 'size': [2.0, 4.5, 1.7],
-            'rotation': [np.cos(0.3), 0, 0, np.sin(0.3)],
-            'category_name': 'car', 'num_lidar_pts': 42}},
+        'sample_annotation': {
+            # raw nuScenes taxonomy names, as the real database stores them
+            'a0': {'translation': [5.0, 2.0, 0.5], 'size': [2.0, 4.5, 1.7],
+                   'rotation': [np.cos(0.3), 0, 0, np.sin(0.3)],
+                   'category_name': 'vehicle.car', 'num_lidar_pts': 42},
+            'a1': {'translation': [8.0, -1.0, 0.2], 'size': [0.5, 0.5, 1.0],
+                   'rotation': [1.0, 0, 0, 0],
+                   'category_name': 'movable_object.debris',
+                   'num_lidar_pts': 3},
+        },
     }
+    tables['sample']['s0']['anns'] = ['a0', 'a1']
     infos = nu.fill_infos(_MockNusc(tables), ['s0'], max_sweeps=10)
     assert len(infos) == 1
     info = infos[0]
@@ -356,8 +368,11 @@ def test_fill_infos_with_mock_devkit(tmp_path):
         info['sweeps'][0]['transform_matrix'],
         nu.sweep_to_ref_transform(ref_cs, ref_pose, sw_cs, sw_pose),
         atol=1e-5)
-    assert info['gt_boxes'].shape == (1, 7)
+    assert info['gt_boxes'].shape == (2, 7)
+    # taxonomy names map to detection class names (benchmark contract);
+    # non-benchmark categories map to 'ignore' and never match CLASS_NAMES
     assert info['gt_names'][0] == 'car'
+    assert info['gt_names'][1] == 'ignore'
     assert info['num_lidar_pts'][0] == 42
 
 

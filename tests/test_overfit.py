@@ -68,8 +68,17 @@ def test_overfit_pointpillar_detects_gt():
 
 
 @pytest.mark.slow
-def test_hvpr_loss_decreases():
+@pytest.mark.parametrize('compute_dtype', ['fp32', 'bf16'])
+def test_hvpr_loss_decreases(compute_dtype):
+    """Training convergence for both backbone compute dtypes.
+
+    The flagship config trains the 2D conv pyramid in bf16 (TPU-native mixed
+    precision: bf16 activations/gradients, f32 params + BN stats, SURVEY
+    section 2c); the bf16 case validates that the training math still
+    converges, not just the eval path (tests/test_bf16_eval.py).
+    """
     cfg = tiny_model_cfg()
+    cfg['BACKBONE_2D']['COMPUTE_DTYPE'] = compute_dtype
     rng = np.random.default_rng(1)
     batch = make_batch(rng, batch_size=2)
     net, first, last = _train(cfg, 60, batch)

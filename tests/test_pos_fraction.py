@@ -90,3 +90,28 @@ def test_disabled_matches_reference_default():
     labels = np.asarray(assigner.assign_targets(anchors, gt)['box_cls_labels'][0])
     assert (labels > 0).sum() == 32
     assert (labels == -1).sum() == 0             # every anchor labeled fg or bg
+
+
+def test_pos_fraction_zero_is_not_unset():
+    # POS_FRACTION 0.0 is a VALID setting (cap fg at zero, sample only
+    # backgrounds) — it must not fall into the disabled (-1) path
+    assigner = _make_assigner(pos_fraction=0.0, sample_size=32)
+    anchors, gt = _toy_scene()
+    labels = np.asarray(assigner.assign_targets(anchors, gt)['box_cls_labels'][0])
+    assert (labels > 0).sum() == 0               # every fg disabled to -1
+    assert (labels == 0).sum() == 32             # full budget of backgrounds
+
+
+def test_global_step_resamples_repeated_batch():
+    # same batch revisited at a different train step draws a fresh subsample
+    # (the reference resamples per call); same step stays deterministic
+    assigner = _make_assigner(pos_fraction=0.5, sample_size=32)
+    anchors, gt = _toy_scene()
+    a = np.asarray(assigner.assign_targets(
+        anchors, gt, global_step=0)['box_cls_labels'])
+    b = np.asarray(assigner.assign_targets(
+        anchors, gt, global_step=0)['box_cls_labels'])
+    c = np.asarray(assigner.assign_targets(
+        anchors, gt, global_step=1)['box_cls_labels'])
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
