@@ -67,8 +67,13 @@ class Network:
 
     # ------------------------------------------------------------------ train
 
-    def train_forward(self, variables, batch_dict, train=True):
-        """Pure apply returning (loss, (tb_dict, new_batch_stats))."""
+    def train_forward(self, variables, batch_dict):
+        """Pure apply returning (loss, (tb_dict, new_batch_stats)).
+
+        Always runs the train path: losses only exist there (the heads build
+        them from the dual-path predictions), so a ``train`` toggle here
+        would be a lie — use :meth:`eval_forward` for eval semantics.
+        """
         out, mutated = self.module.apply(
             variables, batch_dict, train=True, mutable=['batch_stats'])
         return out['loss'], (out['tb_dict'], mutated['batch_stats'])

@@ -166,9 +166,17 @@ class PointPillarScatterAggMemory1Scale(nn.Module):
                 [jax.lax.stop_gradient(pillars), mem_agg], axis=-1)
             fused_point = jnp.concatenate([pillars, point_agg], axis=-1)
 
-            batch_dict['spatial_features'] = scatter_to_bev(fused_mem, coords, vmask, ny, nx)
-            batch_dict['spatial_features_point'] = scatter_to_bev(fused_point, coords, vmask, ny, nx)
-            batch_dict['spatial_scale_features'] = scatter_to_bev(scale, coords, vmask, ny, nx)
+            # one scatter for all three maps: the row-id canvas build is
+            # per-(coords, mask), so three separate calls would rebuild the
+            # identical scatter map three times (the eval branch already
+            # slices one fused canvas the same way)
+            fused = jnp.concatenate([fused_mem, fused_point, scale], axis=-1)
+            canvas = scatter_to_bev(fused, coords, vmask, ny, nx)
+            c_mem = fused_mem.shape[-1]
+            c_pt = fused_point.shape[-1]
+            batch_dict['spatial_features'] = canvas[..., :c_mem]
+            batch_dict['spatial_features_point'] = canvas[..., c_mem:c_mem + c_pt]
+            batch_dict['spatial_scale_features'] = canvas[..., c_mem + c_pt:]
             batch_dict['point_positive_features'] = point_agg
             batch_dict['memory_positive_features'] = mem_agg
             batch_dict['memory_items'] = self.memory.weight

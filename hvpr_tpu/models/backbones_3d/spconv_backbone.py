@@ -148,6 +148,10 @@ class UNetV2(nn.Module):
                                  padding='VALID', use_bias=False)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3)(x)
+            # odd encoder dims ceil-halve under stride 2, so the doubled
+            # upsample can exceed the skip by one cell per axis — crop to the
+            # skip shape (standard U-Net alignment)
+            x = x[:, :skip.shape[1], :skip.shape[2], :skip.shape[3]]
             return nn.relu(x) + skip
 
         u2 = up(x3, x2, 64)

@@ -1,16 +1,22 @@
 """ATSS (Adaptive Training Sample Selection) target assigner — jit-safe.
 
 Parity target: /root/reference/pcdet/models/dense_heads/target_assigner/
-atss_target_assigner.py (top-k by center distance, mean+std IoU threshold,
-center-in-gt test:75-141). Registered for config parity; the shipped HVPR
-config uses AxisAlignedTargetAssigner.
+atss_target_assigner.py (per-anchor-set loop:29-60; top-k by center distance,
+mean+unbiased-std IoU threshold + 1e-6, center-in-gt test, per-gt force
+match:75-141). Registered for config parity; the shipped HVPR config uses
+AxisAlignedTargetAssigner.
+
+TPU-native: the reference's per-sample Python loop becomes vmap over the
+batch; padded gt rows (all zeros) are masked instead of stripped. Each anchor
+set (class) runs its own selection, as upstream; per-set outputs are
+interleaved per BEV location to match the head's prediction layout (the same
+ordering the axis-aligned assigner emits).
 """
 
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ....ops.rotated_iou import boxes_iou3d, boxes_iou_bev
 
@@ -26,21 +32,31 @@ class ATSSTargetAssigner:
         # global_step accepted for call-site parity with the axis-aligned
         # assigner; ATSS matching is deterministic so it is unused
         """all_anchors: list of (nz, ny, nx, ns, nr, C); gt: (B, M, 8)."""
-        flat = []
-        for a in all_anchors:
-            nz, ny, nx, ns, nr, c = a.shape
-            flat.append(a.reshape(nz * ny * nx, ns * nr, c))
-        anchors = jnp.asarray(np.concatenate(flat, axis=1).reshape(-1, flat[0].shape[-1]))
-
         gt_boxes = gt_boxes_with_classes[..., :7]
         gt_classes = gt_boxes_with_classes[..., 7].astype(jnp.int32)
         gt_valid = jnp.abs(gt_boxes_with_classes).sum(axis=-1) > 0
+        b = gt_boxes.shape[0]
 
-        out = jax.vmap(partial(self._assign_single, anchors))(gt_boxes, gt_classes, gt_valid)
+        # per anchor SET, as the reference's assign_targets loop — a joint
+        # top-k over the union of sets would shift every gt's candidate pool
+        # and adaptive threshold
+        per_set = []
+        for a in all_anchors:
+            nz, ny, nx, ns, nr, c = a.shape
+            flat_anchors = jnp.asarray(a).reshape(-1, c)
+            single = jax.vmap(partial(self._assign_single, flat_anchors))(
+                gt_boxes, gt_classes, gt_valid)
+            single = {k: v.reshape(b, nz * ny * nx, ns * nr, *v.shape[2:])
+                      for k, v in single.items()}
+            per_set.append(single)
+
+        labels = jnp.concatenate([s['labels'] for s in per_set], axis=2)
+        targets = jnp.concatenate([s['targets'] for s in per_set], axis=2)
+        weights = jnp.concatenate([s['weights'] for s in per_set], axis=2)
         return {
-            'box_cls_labels': out['labels'],
-            'box_reg_targets': out['targets'],
-            'reg_weights': out['weights'],
+            'box_cls_labels': labels.reshape(b, -1),
+            'box_reg_targets': targets.reshape(b, -1, targets.shape[-1]),
+            'reg_weights': weights.reshape(b, -1),
         }
 
     def _assign_single(self, anchors, gt_boxes, gt_classes, gt_valid):
@@ -59,7 +75,9 @@ class ATSSTargetAssigner:
         k = min(self.topk, num_anchors)
         _, topk_idx = jax.lax.top_k(-dist.T, k)                        # (M, k)
         cand_iou = jnp.take_along_axis(iou.T, topk_idx, axis=1)        # (M, k)
-        thresh = cand_iou.mean(axis=1) + cand_iou.std(axis=1)          # (M,)
+        # torch .std() is unbiased (ddof=1); the reference adds 1e-6
+        thresh = (cand_iou.mean(axis=1)
+                  + cand_iou.std(axis=1, ddof=1) + 1e-6)               # (M,)
 
         # candidate anchors above per-gt threshold whose center is inside the gt bev box
         dx = anchors[:, None, 0] - gt_boxes[None, :, 0]
@@ -80,9 +98,19 @@ class ATSSTargetAssigner:
         best_gt = masked_iou.argmax(axis=1)
         fg = masked_iou.max(axis=1) > 0
 
+        # per-gt force match (reference :126-129): the max-iou anchor of each
+        # gt is assigned to it regardless of the adaptive threshold. Guarded
+        # on iou > 0 so padded/out-of-range gts never claim an anchor (the
+        # reference strips padded gts before this step).
+        gt_best_anchor = iou.argmax(axis=0)                            # (M,)
+        force_ok = gt_valid & (iou.max(axis=0) > 0)
+        best_gt = best_gt.at[gt_best_anchor].set(
+            jnp.where(force_ok, jnp.arange(m), best_gt[gt_best_anchor]))
+        fg = fg.at[gt_best_anchor].set(force_ok | fg[gt_best_anchor])
+
         labels = jnp.where(fg, gt_classes[best_gt], 0)
         targets = self.box_coder.encode(gt_boxes[best_gt], anchors)
         targets = jnp.where(fg[:, None], targets, 0.0)
+        # reference sets reg weight 1.0 on positives (no count normalization)
         weights = fg.astype(jnp.float32)
-        pos_norm = jnp.clip(weights.sum(), 1.0, None)
-        return {'labels': labels, 'targets': targets, 'weights': weights / pos_norm}
+        return {'labels': labels, 'targets': targets, 'weights': weights}

@@ -61,15 +61,25 @@ def _bmax_kernel(pill_ref, memT_ref, bmax_ref, *, m_valid):
 
 
 def _thresh_loop(bmax, k):
-    """k iterations of max+mask -> the k-th largest value per row."""
+    """k iterations of max+mask -> the k-th largest value per row.
+
+    Rank-aware under ties: each iteration removes ALL entries equal to the
+    current max (one vectorized mask), so it counts how many ranks that
+    consumed and freezes the threshold once k ranks are spent — duplicate
+    bucket maxima (e.g. duplicate memory rows, bf16-rounded logits) then
+    yield exactly lax.top_k(bmax, k)[..., -1], not a value below it."""
     def body(_, carry):
-        work, _ = carry
+        work, thresh, remaining = carry
         cur = jnp.max(work, axis=-1, keepdims=True)
-        return jnp.where(work >= cur, _NEG, work), cur
+        ties = jnp.sum((work == cur).astype(jnp.int32), axis=-1, keepdims=True)
+        thresh = jnp.where(remaining > 0, cur, thresh)
+        remaining = remaining - ties
+        return jnp.where(work >= cur, _NEG, work), thresh, remaining
 
     t = bmax.shape[0]
-    _, thresh = jax.lax.fori_loop(
-        0, k, body, (bmax, jnp.full((t, 1), _NEG, jnp.float32)))
+    _, thresh, _ = jax.lax.fori_loop(
+        0, k, body, (bmax, jnp.full((t, 1), _NEG, jnp.float32),
+                     jnp.full((t, 1), k, jnp.int32)))
     return thresh
 
 

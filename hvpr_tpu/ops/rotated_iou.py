@@ -67,10 +67,13 @@ def _edge_contributions(cp, cq, strict):
     for e in range(4):
         ax, ay = cp[:, e, 0], cp[:, e, 1]               # (N,)
         bx, by = cp[:, (e + 1) % 4, 0], cp[:, (e + 1) % 4, 1]
+        dxe = bx - ax                                    # (N,)
+        dye = by - ay
 
         t_lo = jnp.zeros(())
         t_hi = jnp.ones(())
         empty = jnp.zeros((), dtype=bool)
+        degenerate = jnp.zeros((), dtype=bool)
         for h in range(4):
             # fa, fb: (N, M) signed distances of edge endpoints to half-plane h
             fa = ux[None, :, h] * ay[:, None] - uy[None, :, h] * ax[:, None] + c[None, :, h]
@@ -81,15 +84,25 @@ def _edge_contributions(cp, cq, strict):
                 a_out, b_out = fa < _EPS, fb < _EPS
             else:
                 a_out, b_out = fa < -_EPS, fb < -_EPS
+                # ANTI-parallel boundary-collinear edge: the quads merely abut
+                # along this line (their interiors are on opposite sides), so
+                # the intersection is a zero-area segment whose two opposed
+                # traversals must cancel. The strict pass already drops the
+                # clipper's traversal; drop this one too or the segment's
+                # full cross term survives as spurious area (a CCW-parallel
+                # collinear edge — genuine shared boundary — stays counted
+                # exactly once, here).
+                anti = (ux[None, :, h] * dxe[:, None]
+                        + uy[None, :, h] * dye[:, None]) < 0
+                near = (jnp.abs(fa) < _EPS) & (jnp.abs(fb) < _EPS)
+                degenerate = degenerate | (near & anti)
             empty = empty | (a_out & b_out)
             denom = fa - fb
             t_cross = fa / jnp.where(denom == 0, 1.0, denom)
             t_lo = jnp.maximum(t_lo, jnp.where(a_out & ~b_out, t_cross, 0.0))
             t_hi = jnp.minimum(t_hi, jnp.where(b_out & ~a_out, t_cross, 1.0))
 
-        keep = (~empty) & (t_hi > t_lo)
-        dxe = bx - ax
-        dye = by - ay
+        keep = (~empty) & (~degenerate) & (t_hi > t_lo)
         # p0 = a + t_lo * d, p1 = a + t_hi * d; cross(p0, p1)
         p0x = ax[:, None] + t_lo * dxe[:, None]
         p0y = ay[:, None] + t_lo * dye[:, None]
@@ -113,7 +126,11 @@ def boxes_overlap_bev(boxes_a, boxes_b):
     cb = box_to_corners_bev(boxes_b[:, [0, 1, 3, 4, 6]])  # (M, 4, 2)
     two_area = _edge_contributions(ca, cb, strict=False) \
         + _edge_contributions(cb, ca, strict=True).T
-    return jnp.clip(0.5 * two_area, 0.0, None)
+    # intersection <= min(area_a, area_b) always; the clamp bounds any
+    # residual eps-band pathology so IoU can never exceed 1
+    cap = jnp.minimum((boxes_a[:, 3] * boxes_a[:, 4])[:, None],
+                      (boxes_b[:, 3] * boxes_b[:, 4])[None, :])
+    return jnp.clip(0.5 * two_area, 0.0, cap)
 
 
 def boxes_iou_bev(boxes_a, boxes_b):

@@ -118,28 +118,35 @@ def _voxelize_batch_core(points, point_mask, point_cloud_range, voxel_size,
 
     num_cells = nx * ny * nz
     pid = gi[..., 2] * (ny * nx) + gi[..., 1] * nx + gi[..., 0]            # (B, N)
-    batch_ids = jnp.arange(b, dtype=jnp.int32)[:, None]
-    key = jnp.where(valid, batch_ids * (num_cells + 1) + pid,
-                    b * (num_cells + 1))                                   # invalid last
-    flat_key = key.reshape(-1)
+    batch_ids = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, n))
+    # two-key sort (batch, pillar): a single combined int32 key
+    # b*(num_cells+1)+pid would overflow past 2^31 for large 3D grids
+    # (e.g. a 92M-cell SECOND grid at batch >= 23) and silently interleave
+    # samples; separate keys are overflow-free for any shape
+    pid_key = jnp.where(valid, pid, num_cells)                  # invalid last
+    flat_batch = batch_ids.reshape(-1)
+    flat_pid = pid_key.reshape(-1)
     flat_points = points.reshape(-1, c)
     flat_valid = valid.reshape(-1)
 
-    # co-sort the point columns with the key (one variadic sort instead of
+    # co-sort the point columns with the keys (one variadic sort instead of
     # argsort + wide gathers); stability comes from the iota tiebreaker
-    iota = jnp.arange(flat_key.shape[0], dtype=jnp.int32)
+    iota = jnp.arange(flat_pid.shape[0], dtype=jnp.int32)
     operands = jax.lax.sort(
-        (flat_key, iota, flat_valid) + tuple(flat_points[:, i] for i in range(c)),
-        num_keys=2)
-    skey, _, svalid = operands[0], operands[1], operands[2]
+        (flat_batch, flat_pid, iota, flat_valid)
+        + tuple(flat_points[:, i] for i in range(c)),
+        num_keys=3)
+    sbatch, spid, svalid = operands[0], operands[1], operands[3]
     # keep the sorted point rows CHANNEL-MAJOR (C, B*N): every flat-path op
     # is then lane-aligned along the long row axis instead of tile-padding a
     # <=10-wide minor dim to 128 lanes (12.8x HBM waste, measured)
-    spoints_t = jnp.stack(operands[3:], axis=0)
+    spoints_t = jnp.stack(operands[4:], axis=0)
 
     total = b * n
-    head = svalid & jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
-    sbatch = skey // (num_cells + 1)                                       # (BN,)
+    head = svalid & jnp.concatenate(
+        [jnp.array([True]),
+         (sbatch[1:] != sbatch[:-1]) | (spid[1:] != spid[:-1])])
     # per-sample voxel slot: rank of this voxel within its sample
     batch_start_flag = jnp.concatenate([jnp.array([True]), sbatch[1:] != sbatch[:-1]])
     head_cum = jnp.cumsum(head)                                            # global voxel rank + 1
@@ -160,7 +167,6 @@ def _voxelize_batch_core(points, point_mask, point_cloud_range, voxel_size,
 
     head_write = head & (voxel_idx < max_voxels)
     hslot = jnp.where(head_write, slot, b * max_voxels)
-    spid = skey % (num_cells + 1)
     szyx = jnp.stack([spid // (ny * nx), (spid // nx) % ny, spid % nx],
                      axis=-1).astype(jnp.int32)
     coords = jnp.zeros((b * max_voxels + 1, 3), dtype=jnp.int32)

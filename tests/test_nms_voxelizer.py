@@ -120,6 +120,37 @@ def test_voxelizer_batched_matches_vmapped():
         np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]), err_msg=k)
 
 
+def test_voxelizer_large_grid_no_key_overflow():
+    """SECOND-scale 92M-cell grid at batch 24: batch*(cells+1) > 2^31.
+
+    Regression: the fused sort key used to be int32 batch*(cells+1)+pid,
+    which wrapped negative past batch 23 and silently interleaved samples;
+    the two-key (batch, pid) sort has no combined arithmetic to overflow."""
+    pcr = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+    vsz = (0.05, 0.05, 0.1)
+    grid = (1408, 1600, 40)  # 90.1M cells; 24 * (cells+1) ~ 2.16e9 > 2^31
+    b, n = 24, 16
+    rng = np.random.default_rng(9)
+    pts = np.zeros((b, n, 4), np.float32)
+    pts[..., 0] = rng.uniform(0.1, 70.0, (b, n))
+    pts[..., 1] = rng.uniform(-39.9, 39.9, (b, n))
+    pts[..., 2] = rng.uniform(-2.9, 0.9, (b, n))
+    mask = np.ones((b, n), bool)
+
+    got = voxelizer.voxelize_batch_jax(
+        jnp.asarray(pts), jnp.asarray(mask), pcr, vsz,
+        max_voxels=n, max_points_per_voxel=4, grid_size_static=grid)
+
+    # every sample's voxel coords must reproduce its own points' cells
+    for s in range(b):
+        exp = {tuple(np.floor((p[:3] - np.array(pcr[:3])) /
+                              np.array(vsz)).astype(int)[::-1])
+               for p in pts[s]}
+        vm = np.asarray(got['voxel_mask'][s])
+        coords = {tuple(c) for c in np.asarray(got['voxel_coords'][s])[vm]}
+        assert coords == exp, s
+
+
 def test_voxelizer_point_cap():
     # 100 identical points -> single voxel capped at max_num_points
     pts = np.tile(np.array([[1.0, 0.0, -1.0, 0.5]], dtype=np.float32), (100, 1))

@@ -67,6 +67,40 @@ def test_iou_disjoint_boxes():
     assert iou[0, 0] == 0.0
 
 
+def test_abutting_boxes_zero_overlap():
+    """Boxes touching along a collinear edge have ZERO intersection.
+
+    Regression: the Green's-theorem edge clipping used to keep the abutting
+    (anti-parallel boundary-collinear) segment's full cross term from the
+    non-strict pass, reporting origin-dependent spurious overlap (0.5 at the
+    origin, ~30 at x~60) and IoU far above 1 after the union clip."""
+    def mk(x, y):
+        return np.array([[x, y, 0.0, 1.0, 1.0, 1.0, 0.0]], np.float32)
+
+    for x0 in (0.5, 60.5):
+        a, b = mk(x0, 0.5), mk(x0 + 1.0, 0.5)
+        ov = np.asarray(rotated_iou.boxes_overlap_bev(
+            jnp.asarray(a), jnp.asarray(b)))
+        iou = np.asarray(rotated_iou.boxes_iou_bev_jit(
+            jnp.asarray(a), jnp.asarray(b)))
+        assert abs(ov[0, 0]) < 5e-3, (x0, ov)
+        assert abs(iou[0, 0]) < 5e-3, (x0, iou)
+
+    # rotated variant: two 45-degree squares abutting along the diagonal
+    r = np.pi / 4
+    s = np.sqrt(2) / 2
+    a = np.array([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0, r]], np.float32)
+    b = np.array([[s, s, 0.0, 1.0, 1.0, 1.0, r]], np.float32)
+    ov = np.asarray(rotated_iou.boxes_overlap_bev(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(ov[0, 0]) < 5e-3, ov
+
+    # but a CONTAINED box sharing one boundary edge still counts fully
+    a = np.array([[0.5, 0.5, 0.0, 1.0, 1.0, 1.0, 0.0]], np.float32)
+    d = np.array([[0.75, 0.5, 0.0, 0.5, 1.0, 1.0, 0.0]], np.float32)
+    ov = np.asarray(rotated_iou.boxes_overlap_bev(jnp.asarray(a), jnp.asarray(d)))
+    assert abs(ov[0, 0] - 0.5) < 5e-3, ov
+
+
 def test_axis_aligned_half_overlap():
     a = np.array([[0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0]], dtype=np.float32)
     b = np.array([[1.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0]], dtype=np.float32)
