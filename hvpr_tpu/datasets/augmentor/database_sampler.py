@@ -25,9 +25,12 @@ class _ClassDb:
     def __init__(self, infos):
         self.infos = list(infos)
         n = len(self.infos)
-        self.boxes = np.array(
-            [i['box3d_lidar'] for i in self.infos], dtype=np.float32
-        ).reshape(n, -1)
+        # explicit width when empty: np.array([]).reshape(0, -1) raises, and
+        # a class can legitimately be empty (db built without it, or PREPARE
+        # filters removed every entry)
+        self.boxes = (np.zeros((0, 7), dtype=np.float32) if n == 0 else
+                      np.array([i['box3d_lidar'] for i in self.infos],
+                               dtype=np.float32).reshape(n, -1))
         self.num_points = np.array(
             [i['num_points_in_gt'] for i in self.infos], dtype=np.int64)
         self.difficulty = np.array(

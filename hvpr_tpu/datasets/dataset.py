@@ -133,7 +133,9 @@ class DatasetTemplate:
         ret = {'batch_size': b}
 
         if 'points' in data:
-            n_fix = sizes['n_points'] or max(len(p) for p in data['points'])
+            n_fix = sizes['n_points']
+            if n_fix is None or n_fix <= 0:   # -1 = sample_points 'keep all'
+                n_fix = max(len(p) for p in data['points'])
             c = data['points'][0].shape[1]
             pts = np.zeros((b, n_fix, c), dtype=np.float32)
             mask = np.zeros((b, n_fix), dtype=bool)
@@ -166,6 +168,14 @@ class DatasetTemplate:
             gt = np.zeros((b, self.max_gt_boxes, code), dtype=np.float32)
             for i, g in enumerate(data['gt_boxes']):
                 n = min(len(g), self.max_gt_boxes)
+                if n < len(g) and not getattr(self, '_warned_gt_trunc', False):
+                    self._warned_gt_trunc = True
+                    import warnings
+                    warnings.warn(
+                        f'collate_batch: sample has {len(g)} gt boxes but '
+                        f'MAX_GT_BOXES={self.max_gt_boxes}; the excess is '
+                        f'DROPPED (their anchors train as negatives) — raise '
+                        f'DATA_CONFIG.MAX_GT_BOXES')
                 gt[i, :n] = g[:n]
             ret['gt_boxes'] = gt
 
@@ -173,6 +183,14 @@ class DatasetTemplate:
             if k in ('points', 'voxels', 'voxel_coords', 'voxel_num_points',
                      'gt_boxes', 'use_lead_xyz'):
                 continue
-            ret[k] = data[k] if not isinstance(data[k][0], np.ndarray) \
-                else data[k]
+            # equal-shape ndarray values stack into a (B, ...) array (the
+            # reference collate's behavior for e.g. image_shape); everything
+            # else (dicts, strings, ragged arrays) stays a per-sample list
+            vals = data[k]
+            if (isinstance(vals[0], np.ndarray)
+                    and all(isinstance(v, np.ndarray)
+                            and v.shape == vals[0].shape for v in vals)):
+                ret[k] = np.stack(vals, axis=0)
+            else:
+                ret[k] = vals
         return ret

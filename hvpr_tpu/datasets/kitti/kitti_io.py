@@ -18,7 +18,7 @@ import numpy as np
 
 from ...ops.points_in_boxes import points_in_boxes_cpu
 from ...utils import object3d_kitti
-from ...utils.calibration_kitti import Calibration
+from ...utils.calibration_kitti import Calibration, _to_4x4
 
 
 class KittiSplitIO:
@@ -109,9 +109,9 @@ def build_frame_info(io, fid, has_label=True, count_inside_pts=True):
         'point_cloud': {'num_features': 4, 'lidar_idx': fid},
         'image': {'image_idx': fid, 'image_shape': io.image_shape(fid)},
         'calib': {
-            'P2': _pad_4x4(calib.P2),
-            'R0_rect': _pad_4x4(calib.R0),
-            'Tr_velo_to_cam': _pad_4x4(calib.V2C),
+            'P2': _to_4x4(calib.P2),
+            'R0_rect': _to_4x4(calib.R0),
+            'Tr_velo_to_cam': _to_4x4(calib.V2C),
         },
     }
     if not has_label:
@@ -201,10 +201,3 @@ def create_gt_database(io, info_path, save_root, used_classes=None,
     with open(db_info_path, 'wb') as f:
         pickle.dump(db_infos, f)
     return db_info_path
-
-
-def _pad_4x4(m):
-    """(3, 3) or (3, 4) calib matrix -> (4, 4) with unit last row."""
-    out = np.eye(4, dtype=m.dtype)
-    out[:3, : m.shape[1]] = m
-    return out

@@ -261,10 +261,16 @@ class NuScenesDataset(DatasetTemplate):
         detection_name, detection_score, attribute_name}; boxes are moved to
         the global frame with the info-stored lidar->global transform.
         """
-        tm_by_token = {
-            info['token']: np.asarray(
-                info.get('ref_to_global', np.eye(4)), np.float32)
-            for info in self.infos}
+        # built once: generate_prediction_dicts calls this per BATCH under
+        # --save_to_file, and rebuilding a dataset-sized dict each call is
+        # O(N^2/batch) overhead over an eval epoch
+        tm_by_token = getattr(self, '_tm_by_token', None)
+        if tm_by_token is None:
+            tm_by_token = {
+                info['token']: np.asarray(
+                    info.get('ref_to_global', np.eye(4)), np.float32)
+                for info in self.infos}
+            self._tm_by_token = tm_by_token
         results = {}
         for anno in det_annos:
             token = anno.get('metadata', {}).get('token')
@@ -398,12 +404,13 @@ class NuScenesDataset(DatasetTemplate):
                 fp = np.cumsum(~matched_sorted)
                 recall = tp / n_gt
                 precision = tp / np.maximum(tp + fp, 1)
-                # official 101-point interpolation, clipped below 0.1
+                # official 101-point interpolation; the devkit averages
+                # indices 11..100 (prec[round(100*min_recall)+1:] — the
+                # recall==0.1 point itself is EXCLUDED)
                 rec_interp = np.linspace(0, 1, 101)
                 prec_interp = np.interp(rec_interp, recall, precision,
                                         right=0.0)
-                mask = rec_interp >= 0.1
-                prec_clip = np.maximum(prec_interp[mask] - 0.1, 0.0) / 0.9
+                prec_clip = np.maximum(prec_interp[11:] - 0.1, 0.0) / 0.9
                 aps.append(float(np.mean(prec_clip)))
             result_dict[f'{cls}/mAP'] = float(np.mean(aps))
         result_dict['mAP'] = float(np.mean(list(result_dict.values()))) \

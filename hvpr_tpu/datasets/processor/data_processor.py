@@ -63,6 +63,12 @@ class DataProcessor:
             return data_dict
 
         points = data_dict['points']
+        if len(points) == 0:
+            # empty scan (corrupt .bin, everything outside the range mask):
+            # np.random.choice over an empty index set raises — pass the
+            # empty array through; collate_batch pads to the fixed budget
+            # with point_valid_mask False everywhere
+            return data_dict
         if num_points < len(points):
             pts_depth = np.linalg.norm(points[:, 0:3], axis=1)
             pts_near_flag = pts_depth < 40.0

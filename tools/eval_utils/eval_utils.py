@@ -90,10 +90,18 @@ def eval_one_epoch(cfg, model, dataloader, epoch_id, logger, dist_test=False,
 
     if dist_test:
         from hvpr_tpu.utils.common_utils import merge_results_dist
+        # recall counters must gather too (reference eval_utils.py:81-96
+        # sums the metric dict across ranks) — each rank saw 1/world of the
+        # dataset, so rank 0's local counters alone under-report recall
+        world_metrics = merge_results_dist(
+            [metric], None, tmpdir=str(result_dir / 'tmpdir'))
         det_annos = merge_results_dist(det_annos, len(dataset),
                                        tmpdir=str(result_dir / 'tmpdir'))
         if det_annos is None:
             return {}
+        for part in world_metrics[1:]:
+            for key, val in part.items():
+                metric[key] += val
 
     ret_dict = {}
     gt_num_cnt = metric['gt_num']

@@ -119,11 +119,20 @@ def main():
     device_init = {k: v for k, v in init_batch.items() if isinstance(v, np.ndarray)}
     variables = net.init(jax.random.PRNGKey(0), device_init, train=True)
 
-    steps_per_epoch = len(train_loader)
+    # under --merge_all_iters_to_one_epoch the dataset length (and thus
+    # len(train_loader)) is ALREADY multiplied by epochs — multiplying again
+    # would hand the OneCycle schedule epochs^2 steps and leave LR stuck in
+    # its warm-up region for the whole run
+    if args.merge_all_iters_to_one_epoch:
+        total_steps = len(train_loader)
+        iters_each_epoch = len(train_loader) // max(args.epochs, 1)
+    else:
+        total_steps = len(train_loader) * args.epochs
+        iters_each_epoch = len(train_loader)
     tx, lr_fn = build_optimizer(
         variables['params'], cfg_.OPTIMIZATION,
-        total_steps=steps_per_epoch * args.epochs,
-        total_iters_each_epoch=steps_per_epoch)
+        total_steps=total_steps,
+        total_iters_each_epoch=iters_each_epoch)
 
     state = TrainState.create(variables, tx)
     start_epoch = it = 0
