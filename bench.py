@@ -92,9 +92,7 @@ def main():
 
     @jax.jit
     def pipeline(variables, points, mask):
-        v = voxelize_batch_flat(
-            points, mask, pcr, vsz, max_voxels=MAX_VOXELS,
-            max_points_per_voxel=32, grid_size_static=grid)
+        v = voxelize_batch(points, mask)
         batch = {'points': points, 'point_valid_mask': mask, **v}
         out = net.module.apply(variables, batch, train=False)
         res = post_processing(out, cfg['MODEL']['POST_PROCESSING'],

@@ -125,6 +125,26 @@ def d3_box_overlap(boxes, qboxes, criterion=-1):
 NO_DETECTION = -10000000.0
 
 
+def _dontcare_fp_subtraction(dt_bboxes, dc_bboxes, assigned, ignored_det,
+                             ignored_threshold, min_overlap):
+    """Devkit DC rule (bbox metric only): an unassigned, unignored detection
+    overlapping a DontCare region above min_overlap is absorbed (not a FP).
+    Mutates ``assigned``; returns how many detections were absorbed. Shared
+    by the native fast path and the Python oracle so the two can never
+    diverge."""
+    overlaps_dt_dc = image_box_overlap(dt_bboxes, np.asarray(dc_bboxes), 0)
+    nstuff = 0
+    for i in range(len(dc_bboxes)):
+        for j in range(len(dt_bboxes)):
+            if (assigned[j] or ignored_det[j] == -1
+                    or ignored_det[j] == 1 or ignored_threshold[j]):
+                continue
+            if overlaps_dt_dc[j, i] > min_overlap:
+                assigned[j] = True
+                nstuff += 1
+    return nstuff
+
+
 def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
                        dc_bboxes, metric, min_overlap, thresh=0.0,
                        compute_fp=False, compute_aos=False):
@@ -138,21 +158,10 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
                 compute_fp, compute_aos)
         if compute_fp and metric == 0 and len(dc_bboxes) > 0:
             # DontCare FP subtraction (bbox metric only), on the host
-            dt_scores = dt_datas[:, 5]
-            ignored_threshold = dt_scores < thresh if compute_fp else \
-                np.zeros(len(dt_scores), bool)
-            overlaps_dt_dc = image_box_overlap(dt_datas[:, :4],
-                                               np.asarray(dc_bboxes), 0)
-            nstuff = 0
-            for i in range(len(dc_bboxes)):
-                for j in range(len(dt_scores)):
-                    if (assigned[j] or ignored_det[j] == -1
-                            or ignored_det[j] == 1 or ignored_threshold[j]):
-                        continue
-                    if overlaps_dt_dc[j, i] > min_overlap:
-                        assigned[j] = True
-                        nstuff += 1
-            fp -= nstuff
+            ignored_threshold = dt_datas[:, 5] < thresh
+            fp -= _dontcare_fp_subtraction(
+                dt_datas[:, :4], dc_bboxes, assigned, ignored_det,
+                ignored_threshold, min_overlap)
         return tp, fp, fn, similarity, thresholds
     return _compute_statistics_py(
         overlaps, gt_datas, dt_datas, ignored_gt, ignored_det, dc_bboxes,
@@ -237,18 +246,10 @@ def _compute_statistics_py(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det
             if not (assigned_detection[j] or ignored_det[j] == -1
                     or ignored_det[j] == 1 or ignored_threshold[j]):
                 fp += 1
-        nstuff = 0
         if metric == 0 and len(dc_bboxes) > 0:
-            overlaps_dt_dc = image_box_overlap(dt_bboxes, np.asarray(dc_bboxes), 0)
-            for i in range(len(dc_bboxes)):
-                for j in range(det_size):
-                    if (assigned_detection[j] or ignored_det[j] == -1
-                            or ignored_det[j] == 1 or ignored_threshold[j]):
-                        continue
-                    if overlaps_dt_dc[j, i] > min_overlap:
-                        assigned_detection[j] = True
-                        nstuff += 1
-        fp -= nstuff
+            fp -= _dontcare_fp_subtraction(
+                dt_bboxes, dc_bboxes, assigned_detection, ignored_det,
+                ignored_threshold, min_overlap)
         if compute_aos:
             tmp = [(1.0 + np.cos(d)) / 2.0 for d in delta]
             similarity = float(np.sum(tmp)) if tp > 0 or fp > 0 else -1.0
@@ -422,10 +423,10 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                     precision[m, l, k, t] = pr[t, 0] / (pr[t, 0] + pr[t, 1])
                     if compute_aos:
                         aos[m, l, k, t] = pr[t, 3] / (pr[t, 0] + pr[t, 1])
-                # precision envelope: max to the right
+                # precision envelope: max to the right (the devkit envelopes
+                # precision and aos ONLY — recall stays the raw curve)
                 for t in range(len(thresholds)):
                     precision[m, l, k, t] = np.max(precision[m, l, k, t:], axis=-1)
-                    recall[m, l, k, t] = np.max(recall[m, l, k, t:], axis=-1)
                     if compute_aos:
                         aos[m, l, k, t] = np.max(aos[m, l, k, t:], axis=-1)
 

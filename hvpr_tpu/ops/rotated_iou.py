@@ -34,18 +34,18 @@ import numpy as np
 _EPS = 1e-3
 
 
-def box_to_corners_bev(boxes):
+def box_to_corners_bev(boxes, xp=jnp):
     """(..., 5) [x, y, dx, dy, heading] -> (..., 4, 2) corners, CCW order."""
     x, y, dx, dy, r = (boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3], boxes[..., 4])
-    cosa, sina = jnp.cos(r), jnp.sin(r)
-    lx = jnp.stack([dx, dx, -dx, -dx], axis=-1) * 0.5
-    ly = jnp.stack([-dy, dy, dy, -dy], axis=-1) * 0.5
+    cosa, sina = xp.cos(r), xp.sin(r)
+    lx = xp.stack([dx, dx, -dx, -dx], axis=-1) * 0.5
+    ly = xp.stack([-dy, dy, dy, -dy], axis=-1) * 0.5
     cx = x[..., None] + lx * cosa[..., None] - ly * sina[..., None]
     cy = y[..., None] + lx * sina[..., None] + ly * cosa[..., None]
-    return jnp.stack([cx, cy], axis=-1)
+    return xp.stack([cx, cy], axis=-1)
 
 
-def _edge_contributions(cp, cq, strict):
+def _edge_contributions(cp, cq, strict, xp=jnp):
     """Sum of cross(s_e, t_e) over the 4 edges of each P clipped inside each Q.
 
     Args:
@@ -58,7 +58,7 @@ def _edge_contributions(cp, cq, strict):
     total = 0.0
     # clipper half-plane data, precomputed once: (M, 4)
     q1 = cq                      # (M, 4, 2)
-    q2 = jnp.roll(cq, -1, axis=1)
+    q2 = xp.roll(cq, -1, axis=1)
     ux = (q2[..., 0] - q1[..., 0])  # (M, 4)
     uy = (q2[..., 1] - q1[..., 1])
     # f(p) = ux*(py - q1y) - uy*(px - q1x);  rewrite as  f(p) = ux*py - uy*px + c
@@ -70,10 +70,10 @@ def _edge_contributions(cp, cq, strict):
         dxe = bx - ax                                    # (N,)
         dye = by - ay
 
-        t_lo = jnp.zeros(())
-        t_hi = jnp.ones(())
-        empty = jnp.zeros((), dtype=bool)
-        degenerate = jnp.zeros((), dtype=bool)
+        t_lo = xp.zeros(())
+        t_hi = xp.ones(())
+        empty = xp.zeros((), dtype=bool)
+        degenerate = xp.zeros((), dtype=bool)
         for h in range(4):
             # fa, fb: (N, M) signed distances of edge endpoints to half-plane h
             fa = ux[None, :, h] * ay[:, None] - uy[None, :, h] * ax[:, None] + c[None, :, h]
@@ -94,13 +94,13 @@ def _edge_contributions(cp, cq, strict):
                 # exactly once, here).
                 anti = (ux[None, :, h] * dxe[:, None]
                         + uy[None, :, h] * dye[:, None]) < 0
-                near = (jnp.abs(fa) < _EPS) & (jnp.abs(fb) < _EPS)
+                near = (xp.abs(fa) < _EPS) & (xp.abs(fb) < _EPS)
                 degenerate = degenerate | (near & anti)
             empty = empty | (a_out & b_out)
             denom = fa - fb
-            t_cross = fa / jnp.where(denom == 0, 1.0, denom)
-            t_lo = jnp.maximum(t_lo, jnp.where(a_out & ~b_out, t_cross, 0.0))
-            t_hi = jnp.minimum(t_hi, jnp.where(b_out & ~a_out, t_cross, 1.0))
+            t_cross = fa / xp.where(denom == 0, 1.0, denom)
+            t_lo = xp.maximum(t_lo, xp.where(a_out & ~b_out, t_cross, 0.0))
+            t_hi = xp.minimum(t_hi, xp.where(b_out & ~a_out, t_cross, 1.0))
 
         keep = (~empty) & (~degenerate) & (t_hi > t_lo)
         # p0 = a + t_lo * d, p1 = a + t_hi * d; cross(p0, p1)
@@ -109,7 +109,7 @@ def _edge_contributions(cp, cq, strict):
         p1x = ax[:, None] + t_hi * dxe[:, None]
         p1y = ay[:, None] + t_hi * dye[:, None]
         contrib = p0x * p1y - p0y * p1x
-        total = total + jnp.where(keep, contrib, 0.0)
+        total = total + xp.where(keep, contrib, 0.0)
     return total
 
 
@@ -165,12 +165,27 @@ boxes_iou_bev_jit = jax.jit(boxes_iou_bev)
 boxes_iou3d_jit = jax.jit(boxes_iou3d)
 
 
+def _overlap_bev_numpy(boxes_a, boxes_b):
+    """Vectorized numpy twin of :func:`boxes_overlap_bev` (host fallback).
+
+    Same Green's-theorem formulation through the shared xp-parametrized
+    helpers — no device round-trip, no per-(N, M)-shape XLA recompiles."""
+    ca = box_to_corners_bev(boxes_a[:, [0, 1, 3, 4, 6]], xp=np)
+    cb = box_to_corners_bev(boxes_b[:, [0, 1, 3, 4, 6]], xp=np)
+    two_area = _edge_contributions(ca, cb, strict=False, xp=np) \
+        + _edge_contributions(cb, ca, strict=True, xp=np).T
+    cap = np.minimum((boxes_a[:, 3] * boxes_a[:, 4])[:, None],
+                     (boxes_b[:, 3] * boxes_b[:, 4])[None, :])
+    return np.clip(0.5 * two_area, 0.0, cap).astype(np.float32)
+
+
 def boxes_overlap_bev_cpu(boxes_a, boxes_b):
     """Host-side raw rotated-BEV intersection areas on numpy (N, 7) boxes.
 
-    Used by the KITTI AP evaluator's criterion!=-1 overlap modes so the
-    host metric never round-trips through jitted device code (which would
-    recompile per (N, M) shape). Prefers the native C++ extension.
+    Used by the KITTI AP evaluator's overlap modes so the host metric never
+    round-trips through jitted device code (which would recompile per
+    (N, M) shape). Prefers the native C++ extension; the fallback is the
+    vectorized numpy twin of the device kernel.
     """
     boxes_a = np.asarray(boxes_a, dtype=np.float32)
     boxes_b = np.asarray(boxes_b, dtype=np.float32)
@@ -179,8 +194,7 @@ def boxes_overlap_bev_cpu(boxes_a, boxes_b):
     from ..native import geometry as native_geometry
     if native_geometry.available():
         return native_geometry.boxes_overlap_bev(boxes_a, boxes_b)
-    return np.asarray(boxes_overlap_bev(jnp.asarray(boxes_a),
-                                        jnp.asarray(boxes_b)))
+    return _overlap_bev_numpy(boxes_a, boxes_b)
 
 
 def boxes_bev_iou_cpu(boxes_a, boxes_b):
@@ -188,7 +202,7 @@ def boxes_bev_iou_cpu(boxes_a, boxes_b):
 
     Replacement for the reference C++ ``boxes_bev_iou_cpu``
     (database_sampler.py:184-185). Prefers the native C++ extension, falling
-    back to the jitted device routine.
+    back to the vectorized numpy twin of the device kernel.
     """
     boxes_a = np.asarray(boxes_a, dtype=np.float32)
     boxes_b = np.asarray(boxes_b, dtype=np.float32)
@@ -197,4 +211,7 @@ def boxes_bev_iou_cpu(boxes_a, boxes_b):
     from ..native import geometry as native_geometry
     if native_geometry.available():
         return native_geometry.boxes_iou_bev(boxes_a, boxes_b)
-    return np.asarray(boxes_iou_bev_jit(jnp.asarray(boxes_a), jnp.asarray(boxes_b)))
+    overlap = _overlap_bev_numpy(boxes_a, boxes_b)
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return overlap / np.clip(area_a + area_b - overlap, 1e-6, None)

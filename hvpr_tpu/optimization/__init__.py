@@ -51,9 +51,11 @@ def one_cycle_lr_schedule(lr_max, total_steps, moms=(0.95, 0.85), div_factor=10.
 
 
 def decay_step_schedule(lr, decay_step_list, lr_decay, lr_clip,
-                        total_iters_each_epoch, warmup_epoch=0, warmup=False):
-    """LambdaLR over epochs with step milestones + optional linear warmup
-    (optimization/__init__.py:44-63 semantics)."""
+                        total_iters_each_epoch, warmup_epoch=0, warmup=False,
+                        div_factor=10.0):
+    """LambdaLR over epochs with step milestones + optional cosine warmup
+    (optimization/__init__.py:39-63 semantics: CosineWarmupLR ramps from
+    eta_min = LR/DIV_FACTOR along (1 - cos(pi*t/T))/2)."""
     milestones = [m * total_iters_each_epoch for m in decay_step_list]
     warmup_steps = warmup_epoch * total_iters_each_epoch
 
@@ -62,7 +64,9 @@ def decay_step_schedule(lr, decay_step_list, lr_decay, lr_clip,
         cur = lr * (lr_decay ** decays)
         cur = jnp.maximum(cur, lr_clip)
         if warmup and warmup_steps > 0:
-            warm = lr * (0.1 + 0.9 * jnp.clip(step / warmup_steps, 0, 1))
+            eta_min = lr / div_factor
+            pct = jnp.clip(step / warmup_steps, 0, 1)
+            warm = eta_min + (lr - eta_min) * (1 - jnp.cos(jnp.pi * pct)) / 2
             cur = jnp.where(step < warmup_steps, warm, cur)
         return cur
 
@@ -112,27 +116,23 @@ def build_optimizer(params, optim_cfg, total_steps=None, total_iters_each_epoch=
                 ))(learning_rate=lr_fn, b1=mom_fn)
 
         tx = adam_with_schedules()
-    elif name == 'adam':
+    elif name in ('adam', 'sgd'):
         lr_fn = decay_step_schedule(
             lr, list(optim_cfg.get('DECAY_STEP_LIST', [])),
             float(optim_cfg.get('LR_DECAY', 0.1)),
             float(optim_cfg.get('LR_CLIP', 1e-7)),
             total_iters_each_epoch or 1,
             warmup_epoch=int(optim_cfg.get('WARMUP_EPOCH', 0)),
-            warmup=bool(optim_cfg.get('LR_WARMUP', False)))
-        tx = optax.adam(learning_rate=lr_fn)
-    elif name == 'sgd':
-        lr_fn = decay_step_schedule(
-            lr, list(optim_cfg.get('DECAY_STEP_LIST', [])),
-            float(optim_cfg.get('LR_DECAY', 0.1)),
-            float(optim_cfg.get('LR_CLIP', 1e-7)),
-            total_iters_each_epoch or 1,
-            warmup_epoch=int(optim_cfg.get('WARMUP_EPOCH', 0)),
-            warmup=bool(optim_cfg.get('LR_WARMUP', False)))
-        tx = optax.chain(
-            optax.add_decayed_weights(wd, mask=_no_decay_mask(params)),
-            optax.sgd(learning_rate=lr_fn,
-                      momentum=float(optim_cfg.get('MOMENTUM', 0.9))))
+            warmup=bool(optim_cfg.get('LR_WARMUP', False)),
+            div_factor=float(optim_cfg.get('DIV_FACTOR', 10.0)))
+        # the reference's plain adam/sgd apply torch's COUPLED L2 to every
+        # parameter (grad += wd * param before the moment updates; no BN/bias
+        # exclusion — that exists only in adam_onecycle's OptimWrapper)
+        inner = (optax.adam(learning_rate=lr_fn) if name == 'adam' else
+                 optax.sgd(learning_rate=lr_fn,
+                           momentum=float(optim_cfg.get('MOMENTUM', 0.9))))
+        tx = optax.chain(optax.add_decayed_weights(wd), inner) if wd > 0 \
+            else inner
     else:
         raise NotImplementedError(name)
 

@@ -17,6 +17,7 @@ from typing import Any
 import flax
 import jax
 import jax.numpy as jnp
+import optax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -84,7 +85,7 @@ def make_train_step(module, tx, mesh=None, donate=True):
                                   opt_state=new_opt_state)
         metrics = dict(tb)
         metrics['loss'] = loss
-        metrics['grad_norm'] = optax_global_norm(grads)
+        metrics['grad_norm'] = optax.global_norm(grads)
         return new_state, metrics
 
     if mesh is None or np.prod(mesh.devices.shape) == 1:
@@ -102,11 +103,6 @@ def make_train_step(module, tx, mesh=None, donate=True):
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
-
-
-def optax_global_norm(tree):
-    leaves = jax.tree_util.tree_leaves(tree)
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
 def shard_host_batch(batch, mesh):
