@@ -50,7 +50,6 @@ class Network:
         self.num_class = num_class
         self.variables = None
         self._eval_fn = None
-        self._train_fn = None
 
     # -------------------------------------------------------------- lifecycle
 

@@ -25,11 +25,6 @@ from ....ops.memory_lookup import memory_lookup_fused
 from ....ops.memory_recon import memory_recon
 
 
-def hard_shrink_relu(x, lambd=0.0, epsilon=1e-12):
-    """relu(x - lambd) * x / (|x - lambd| + eps) — zero below the threshold."""
-    return (nn.relu(x - lambd) * x) / (jnp.abs(x - lambd) + epsilon)
-
-
 class MemoryUnitAgg(nn.Module):
     mem_dim: int       # M memory rows
     fea_dim: int       # C feature channels
@@ -42,19 +37,27 @@ class MemoryUnitAgg(nn.Module):
             lambda key, shape: jax.random.uniform(key, shape, minval=-stdv, maxval=stdv),
             (self.mem_dim, self.fea_dim))
 
-    def _aggregate(self, candidates, pillars, agg_logits=None):
+    def _aggregate(self, candidates, pillars, agg_logits=None, valid=None):
         """Similarity-softmax aggregation of (B, V, k, C) candidates per pillar.
 
         ``agg_logits`` short-circuits the pillar-candidate dot products when
         the caller already has them (eval: they ARE the top-k scores).
+        ``valid`` (B, V, k) masks candidates out of the softmax (train: slots
+        that had to be filled from padded points); a pillar with zero valid
+        candidates aggregates to exactly zero.
         """
         if agg_logits is None:
             agg_logits = (candidates * pillars[..., None, :]).sum(axis=-1)  # (B, V, k)
+        if valid is not None:
+            agg_logits = jnp.where(valid, agg_logits, -1e9)
         agg_w = jax.nn.softmax(agg_logits, axis=-1)
         agg_w = jax.lax.stop_gradient(agg_w).astype(candidates.dtype)
-        return (agg_w[..., None] * candidates).sum(axis=-2)              # (B, V, C)
+        out = (agg_w[..., None] * candidates).sum(axis=-2)               # (B, V, C)
+        if valid is not None:
+            out = jnp.where(valid.any(axis=-1)[..., None], out, 0.0)
+        return out
 
-    def train_forward(self, pillars, point_topk):
+    def train_forward(self, pillars, point_topk, topk_valid=None):
         """Training: reconstruct the k attentive point features from memory.
 
         The (B*V*k, M) addressing matrix is ~10 GB at batch 4 — far beyond
@@ -68,6 +71,9 @@ class MemoryUnitAgg(nn.Module):
         Args:
             pillars: (B, V, C) pillar features.
             point_topk: (B, V, k, C) top-k attentive point features per pillar.
+            topk_valid: (B, V, k) bool — slots filled from padded points are
+                excluded from the aggregation (their "reconstruction" is the
+                memory's response to a zero vector, not a real point).
         Returns:
             dict(output=(B, V, C) aggregated reconstructions).
         """
@@ -75,7 +81,7 @@ class MemoryUnitAgg(nn.Module):
         recon = memory_recon(point_topk.reshape(-1, c), self.weight,
                              shrink_thres=self.shrink_thres)
         recon = recon.reshape(b, v, k, c)
-        output = self._aggregate(recon, pillars)
+        output = self._aggregate(recon, pillars, valid=topk_valid)
         return {'output': output}
 
     def eval_forward(self, pillars, k, mode: str = 'fused'):

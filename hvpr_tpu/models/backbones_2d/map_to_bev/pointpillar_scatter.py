@@ -80,7 +80,10 @@ def attentive_point_pooling(points, point_mask, pillars, k, chunk=2048):
         chunk: pillars processed per chunk (bounds the (N, chunk) score matrix).
     Returns:
         output: (B, V, C) attentive point feature per pillar.
-        topk_feats: (B, V, k, C) the raw top-k point features (memory input).
+        topk_feats: (B, V, k, C) the top-k point features (memory input);
+            rows selected from padded points are zeroed.
+        topk_valid: (B, V, k) bool — False where fewer than k valid points
+            existed and the selection had to fall back to padded rows.
     """
     b, v, c = pillars.shape
     n = points.shape[1]
@@ -111,15 +114,22 @@ def attentive_point_pooling(points, point_mask, pillars, k, chunk=2048):
         idx = idx.reshape(bb, vv, k)                          # (B, chunk, k)
         pts = jnp.take_along_axis(points[:, None, :, :],
                                   idx[..., None], axis=2)      # (B, chunk, k, C)
-        agg_logits = (pillar_chunk[:, :, None, :] * pts).sum(-1)  # (B, chunk, k)
+        # a sample with < k valid points forces padded rows into the top-k:
+        # zero their features and mask them out of the aggregation softmax
+        # (the reference's ragged batch only ever contains real points)
+        sel_neg = jnp.take_along_axis(neg[:, None, :], idx, axis=2)  # (B, chunk, k)
+        pts = jnp.where(sel_neg[..., None] < -0.5, 0.0, pts)
+        agg_logits = ((pillar_chunk[:, :, None, :] * pts).sum(-1)
+                      + sel_neg)                              # (B, chunk, k)
         agg_w = jax.lax.stop_gradient(jax.nn.softmax(agg_logits, axis=-1))
         out = (agg_w[..., None] * pts).sum(axis=2)            # (B, chunk, C)
-        return out, pts
+        return out, pts, sel_neg > -0.5
 
-    outs, tops = jax.lax.map(process, pillars_c)              # (nc, B, chunk, C), (nc, B, chunk, k, C)
+    outs, tops, valids = jax.lax.map(process, pillars_c)      # (nc, B, chunk, ...)
     output = outs.transpose(1, 0, 2, 3).reshape(b, v + pad, c)[:, :v]
     topk_feats = tops.transpose(1, 0, 2, 3, 4).reshape(b, v + pad, k, c)[:, :v]
-    return output, topk_feats
+    topk_valid = valids.transpose(1, 0, 2, 3).reshape(b, v + pad, k)[:, :v]
+    return output, topk_feats, topk_valid
 
 
 class PointPillarScatterAggMemory1Scale(nn.Module):
@@ -158,8 +168,9 @@ class PointPillarScatterAggMemory1Scale(nn.Module):
             if pmask is None:
                 pmask = jnp.ones(points.shape[:2], dtype=bool)
 
-            point_agg, point_topk = attentive_point_pooling(points, pmask, pillars, k)
-            mem = self.memory.train_forward(pillars, point_topk)
+            point_agg, point_topk, topk_valid = attentive_point_pooling(
+                points, pmask, pillars, k)
+            mem = self.memory.train_forward(pillars, point_topk, topk_valid)
             mem_agg = mem['output']                           # (B, V, C)
 
             fused_mem = jnp.concatenate(

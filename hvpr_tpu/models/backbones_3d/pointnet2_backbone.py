@@ -135,8 +135,10 @@ class PointNet2MSG(nn.Module):
                 nsamples=list(sa_cfg['NSAMPLE'][k]),
                 mlps=[list(m) for m in sa_cfg['MLPS'][k]],
                 use_xyz=sa_cfg.get('USE_XYZ', True),
-                # chunk-parallel FPS (train-time throughput; exact=1)
-                fps_chunks=int(sa_cfg.get('FPS_CHUNKS', 16)),
+                # exact sequential FPS by default (reference CUDA semantics);
+                # FPS_CHUNKS > 1 opts into the Morton-chunked approximation
+                # (the shipped flagship configs set 16 for train throughput)
+                fps_chunks=int(sa_cfg.get('FPS_CHUNKS', 1)),
             )(l_xyz[k], l_feats[k], l_mask[k], train)
             l_xyz.append(nx)
             l_feats.append(nf)

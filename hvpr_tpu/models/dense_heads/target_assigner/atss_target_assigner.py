@@ -101,12 +101,17 @@ class ATSSTargetAssigner:
         # per-gt force match (reference :126-129): the max-iou anchor of each
         # gt is assigned to it regardless of the adaptive threshold. Guarded
         # on iou > 0 so padded/out-of-range gts never claim an anchor (the
-        # reference strips padded gts before this step).
+        # reference strips padded gts before this step). Two gts can share a
+        # best anchor; the reference's advanced-index assignment resolves the
+        # collision last-write-wins (highest gt index), so the scatter here is
+        # a max over gt indices — deterministic, unlike .set with duplicates.
         gt_best_anchor = iou.argmax(axis=0)                            # (M,)
         force_ok = gt_valid & (iou.max(axis=0) > 0)
-        best_gt = best_gt.at[gt_best_anchor].set(
-            jnp.where(force_ok, jnp.arange(m), best_gt[gt_best_anchor]))
-        fg = fg.at[gt_best_anchor].set(force_ok | fg[gt_best_anchor])
+        forced_gt = jnp.full((num_anchors,), -1, dtype=best_gt.dtype)
+        forced_gt = forced_gt.at[gt_best_anchor].max(
+            jnp.where(force_ok, jnp.arange(m), -1))
+        best_gt = jnp.where(forced_gt >= 0, forced_gt, best_gt)
+        fg = fg | (forced_gt >= 0)
 
         labels = jnp.where(fg, gt_classes[best_gt], 0)
         targets = self.box_coder.encode(gt_boxes[best_gt], anchors)

@@ -108,6 +108,9 @@ def post_processing(batch_dict, post_cfg, num_class):
     recall_thresh_list = list(post_cfg.get('RECALL_THRESH_LIST', []))
 
     cls_preds = batch_dict['batch_cls_preds']
+    # the reference's shape sanity check (detector3d_template.py:187)
+    assert cls_preds.shape[-1] in (1, num_class), \
+        (cls_preds.shape, num_class)
     box_preds = batch_dict['batch_box_preds']
     if not batch_dict.get('cls_preds_normalized', False):
         cls_preds = jax.nn.sigmoid(cls_preds)

@@ -52,8 +52,13 @@ class MaskedBatchNorm(nn.Module):
                 mean = (x * m).sum(axis=reduce_axes) / count
                 var = ((x - mean) ** 2 * m).sum(axis=reduce_axes) / count
             if not self.is_initializing():
+                # torch BatchNorm normalizes with the biased batch variance
+                # but stores the UNBIASED (n-1) estimator in running_var;
+                # match it so eval-time numerics track the reference exactly
+                # even at small masked counts (e.g. sparse scale-stream BN)
+                var_update = var * (count / jnp.clip(count - 1.0, 1.0, None))
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var_update
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -120,24 +120,3 @@ def segment_last_row(safe_slot, num_slots):
                                   mode='drop')[:num_slots]
 
 
-def sorted_segment_max(x, slot, write, num_slots, max_seg=32):
-    """Row-major wrapper over the channel-major segment reductions.
-
-    (The flat VFE uses the channel-major primitives directly; this form is
-    kept for row-major callers/tests.) Same flat-layout invariants.
-    """
-    seg_rows = segment_broadcast_max_t(
-        jnp.where(write[:, None], x, -1e9).T,
-        jnp.where(write, slot, num_slots), max_seg)
-    last = segment_last_row(jnp.where(write, slot, num_slots), num_slots)
-    seg = seg_rows.T[jnp.clip(last, 0, x.shape[0] - 1)]
-    return jnp.where((last >= 0)[:, None], seg, 0.0)
-
-
-@jax.jit
-def gather_from_bev(bev, coords):
-    """Inverse of :func:`scatter_to_bev`: sample (B, ny, nx, C) at pillar coords."""
-    flat_idx = coords[..., 1] * bev.shape[2] + coords[..., 2]
-    b, ny, nx, c = bev.shape
-    flat = bev.reshape(b, ny * nx, c)
-    return jax.vmap(lambda f, i: f[i])(flat, flat_idx)
