@@ -53,9 +53,9 @@ def scatter_to_bev(features, coords, mask, ny, nx):
 def segment_broadcast_max_t(x_t, safe_slot, max_seg=32):
     """Per-row segment max in channel-major layout, no gathers.
 
-    Same flat-layout invariants as :func:`sorted_segment_max` (contiguous
-    valid prefixes of <= ``max_seg`` rows; ``safe_slot`` must already carry a
-    sentinel on invalid rows and ``x_t`` -1e9 there). Two masked
+    Flat-layout invariants: segments are contiguous runs of <= ``max_seg``
+    rows; ``safe_slot`` must already carry a sentinel on invalid rows and
+    ``x_t`` -1e9 there. Two masked
     doubling-scan sweeps — a forward running max then a reverse running max
     of it — leave EVERY row holding its segment's max, so the result can be
     consumed in row space (layer-to-layer concat) or extracted at any row of

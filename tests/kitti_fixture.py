@@ -27,21 +27,32 @@ def make_calib_file(path):
     path.write_text('\n'.join(lines) + '\n')
 
 
-def make_scene(rng, n_cars=49):
+def make_scene(rng, n_cars=49, easy=False):
     """Non-overlapping lidar-frame car boxes on a jittered grid (5x5).
 
     Enough gts per split (~100) that the 41-point/R40 recall axis fills
     up and perfect predictions actually score ~100 AP.
+
+    ``easy=True`` pins size/z to the Car anchor and headings near the two
+    anchor rotations, so a few hundred overfit steps reach sharp 3D@0.7
+    localization — needed by delta-bound tests (test_topk_ap_ab) whose
+    assertions are meaningless while most boxes sit at marginal IoU.
     """
     xs, ys = np.meshgrid(np.linspace(8, 40, 7), np.linspace(-13.5, 13.5, 7))
     boxes = np.zeros((n_cars, 7), dtype=np.float32)
     boxes[:, 0] = xs.ravel()[:n_cars] + rng.uniform(-0.5, 0.5, n_cars)
     boxes[:, 1] = ys.ravel()[:n_cars] + rng.uniform(-0.5, 0.5, n_cars)
-    boxes[:, 2] = rng.uniform(-1.2, -0.6, n_cars)  # z center
-    boxes[:, 3] = rng.uniform(3.6, 4.3, n_cars)
-    boxes[:, 4] = rng.uniform(1.5, 1.8, n_cars)
-    boxes[:, 5] = rng.uniform(1.4, 1.7, n_cars)
-    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n_cars)
+    if easy:
+        boxes[:, 2] = -1.0
+        boxes[:, 3:6] = [3.9, 1.6, 1.56]  # the hvpr.yaml Car anchor size
+        boxes[:, 6] = (rng.choice([0.0, np.pi / 2], n_cars)
+                       + rng.uniform(-0.1, 0.1, n_cars))
+    else:
+        boxes[:, 2] = rng.uniform(-1.2, -0.6, n_cars)  # z center
+        boxes[:, 3] = rng.uniform(3.6, 4.3, n_cars)
+        boxes[:, 4] = rng.uniform(1.5, 1.8, n_cars)
+        boxes[:, 5] = rng.uniform(1.4, 1.7, n_cars)
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n_cars)
     return boxes
 
 
@@ -60,7 +71,7 @@ def lidar_box_to_label_line(box, calib):
 
 
 
-def build_kitti_root(root, n_scenes=4, with_infos=True):
+def build_kitti_root(root, n_scenes=4, with_infos=True, easy=False):
     """Create a synthetic KITTI tree with velodyne/calib/label/planes."""
     from hvpr_tpu.utils.calibration_kitti import Calibration
     from PIL import Image
@@ -79,7 +90,7 @@ def build_kitti_root(root, n_scenes=4, with_infos=True):
         make_calib_file(training / 'calib' / f'{sid}.txt')
         calib = Calibration(str(training / 'calib' / f'{sid}.txt'))
 
-        boxes = make_scene(rng)
+        boxes = make_scene(rng, easy=easy)
         n_bg = 4000
         pts = np.zeros((n_bg, 4), dtype=np.float32)
         pts[:, 0] = rng.uniform(2, 45, n_bg)

@@ -114,10 +114,19 @@ def _eval_ap(cfg, mode, variables, ds_stub, val_ds, val_batch, bf16=False):
 
 @pytest.mark.slow
 def test_topk_modes_ap_delta(tmp_path):
-    root, _ = build_kitti_root(tmp_path / 'kitti', n_scenes=2)
+    # 4 scenes x 49 cars = 196 gts keep the per-detection R40 AP quantum
+    # well under the 0.3 gate, and the EASY fixture (anchor-matched sizes,
+    # fixed z, near-axis headings) lets 450 overfit steps reach sharp
+    # 3D@0.7 localization — with the hard fixture most boxes sit at
+    # marginal IoU and the bf16 rounding-placement difference between
+    # lowering modes flips enough of them to swamp the gate (~0.4 AP of
+    # pure noise, measured)
+    n_scenes = 4
+    root, _ = build_kitti_root(tmp_path / 'kitti', n_scenes=n_scenes, easy=True)
+    ids = '\n'.join(f'{i:06d}' for i in range(n_scenes)) + '\n'
     # overfit the very scenes we evaluate: train split == val split
-    (root / 'ImageSets' / 'train.txt').write_text('000000\n000001\n')
-    (root / 'ImageSets' / 'val.txt').write_text('000000\n000001\n')
+    (root / 'ImageSets' / 'train.txt').write_text(ids)
+    (root / 'ImageSets' / 'val.txt').write_text(ids)
 
     cfg = _small_hvpr_cfg(root)
     from hvpr_tpu.datasets.kitti.kitti_dataset import KittiDataset, create_kitti_infos
@@ -126,15 +135,15 @@ def test_topk_modes_ap_delta(tmp_path):
 
     train_ds = KittiDataset(cfg['DATA_CONFIG'], class_names=['Car'],
                             training=True, root_path=root)
-    batch = train_ds.collate_batch([train_ds[0], train_ds[1]])
+    batch = train_ds.collate_batch([train_ds[i] for i in range(n_scenes)])
     batch.setdefault('grid_size', train_ds.grid_size)
     batch.setdefault('point_cloud_range', train_ds.point_cloud_range)
     batch.setdefault('voxel_size', train_ds.voxel_size)
-    variables, ds_stub = _train_overfit(cfg, batch, n_steps=600)
+    variables, ds_stub = _train_overfit(cfg, batch, n_steps=450)
 
     val_ds = KittiDataset(cfg['DATA_CONFIG'], class_names=['Car'],
                           training=False, root_path=root)
-    val_batch = val_ds.collate_batch([val_ds[0], val_ds[1]])
+    val_batch = val_ds.collate_batch([val_ds[i] for i in range(n_scenes)])
 
     aps = {mode: _eval_ap(cfg, mode, variables, ds_stub, val_ds, val_batch)
            for mode in ('exact', 'fused', 'approx')}
