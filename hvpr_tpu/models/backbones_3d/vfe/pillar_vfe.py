@@ -16,11 +16,28 @@ cluster-offset xyz, center-offset xyz], matching pillar_vfe.py:94-124.
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ....ops.scatter import (segment_broadcast_max_t, segment_last_row,
                              segment_sums_t)
+from ....ops.segment_sweep import segment_sweep_pallas
 from ...model_utils.layers import DenseT, MaskedBatchNorm
+
+
+def _segment_max(x_t, safe_slot, max_seg, allow_pallas):
+    """Dispatch: explicit-schedule Pallas sweep on TPU inference (batch-size
+    independent — fixes the b8->b16 XLA fusion cliff, docs/DESIGN.md), XLA
+    twin elsewhere and on the (differentiated) training path."""
+    if allow_pallas and jax.default_backend() == 'tpu':
+        return segment_sweep_pallas(x_t, safe_slot, max_seg, 'max')
+    return segment_broadcast_max_t(x_t, safe_slot, max_seg)
+
+
+def _segment_sums(x_t, safe_slot, max_seg, allow_pallas):
+    if allow_pallas and jax.default_backend() == 'tpu':
+        return segment_sweep_pallas(x_t, safe_slot, max_seg, 'sum')
+    return segment_sums_t(x_t, safe_slot, max_seg)
 
 
 class PFNLayer(nn.Module):
@@ -54,7 +71,8 @@ class PFNLayer(nn.Module):
                 x = MaskedBatchNorm()(x, point_mask, train, transposed=True)
             x = nn.relu(x)
             xm = jnp.where(point_mask[None, :], x, -1e9)
-            seg = segment_broadcast_max_t(xm, flat_slot, self.max_seg)
+            seg = _segment_max(xm, flat_slot, self.max_seg,
+                               allow_pallas=not train)
             seg = jnp.where(point_mask[None, :], seg, 0.0)
             if self.last_layer:
                 return seg
@@ -112,7 +130,7 @@ def decorate_pillar_features(voxels, num_points, coords, voxel_size, point_cloud
 
 def decorate_flat_features(batch_dict, voxel_size, point_cloud_range,
                            use_absolute_xyz=True, with_distance=False,
-                           max_seg=32):
+                           max_seg=32, allow_pallas=False):
     """Flat-layout decoration, channel-major: (C_dec, R) rows.
 
     Consumes voxelize_batch_flat outputs (flat_points (C, R) / flat_slot /
@@ -137,10 +155,12 @@ def decorate_flat_features(batch_dict, voxel_size, point_cloud_range,
 
     safe_slot = jnp.where(write, slot, num_slots)
     xyz_t = pts_t[:3]
-    sums_t = segment_sums_t(jnp.where(write[None, :], xyz_t, 0.0),
-                            safe_slot, max_seg)
-    cnt_row = segment_sums_t(write[None, :].astype(pts_t.dtype),
-                             safe_slot, max_seg)
+    # one fused (4, R) sweep: xyz sums + per-row segment count
+    stacked = jnp.concatenate(
+        [jnp.where(write[None, :], xyz_t, 0.0),
+         write[None, :].astype(pts_t.dtype)], axis=0)
+    sums4 = _segment_sums(stacked, safe_slot, max_seg, allow_pallas)
+    sums_t, cnt_row = sums4[:3], sums4[3:4]
     means_t = sums_t / jnp.clip(cnt_row, 1.0, None)                 # (3, R)
     f_cluster = xyz_t - means_t
 
@@ -176,7 +196,7 @@ class PillarVFE(nn.Module):
                 batch_dict, self.voxel_size, self.point_cloud_range,
                 use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
                 with_distance=self.model_cfg.get('WITH_DISTANCE', False),
-                max_seg=self.max_points_per_voxel)
+                max_seg=self.max_points_per_voxel, allow_pallas=not train)
             b, v = batch_dict['voxel_num_points'].shape
             write = batch_dict['flat_write']
             for i, out_ch in enumerate(num_filters):
@@ -234,7 +254,7 @@ class PillarVFE_Scale(nn.Module):
                 batch_dict, self.voxel_size, self.point_cloud_range,
                 use_absolute_xyz=self.model_cfg.get('USE_ABSLOTE_XYZ', True),
                 with_distance=self.model_cfg.get('WITH_DISTANCE', False),
-                max_seg=self.max_points_per_voxel)
+                max_seg=self.max_points_per_voxel, allow_pallas=not train)
             b, v = batch_dict['voxel_num_points'].shape
             write = batch_dict['flat_write']
             for i, out_ch in enumerate(num_filters):

@@ -1,12 +1,16 @@
-"""Worker for the 2-process multi-host test (spawned by test_multihost.py).
+"""Worker for the multi-process multi-host tests (spawned by test_multihost.py).
 
 Usage: python multihost_worker.py <coordinator_port> <process_id> <tmpdir>
+           [num_processes] [devices_per_proc]
 
-Each worker is one "host": 4 virtual CPU devices, joined into one 8-device
-global mesh via jax.distributed. Exercises the full multi-host surface the
-reference covers with NCCL (common_utils.py:114-195): cluster init, global
-collectives, per-process batch sharding, a BatchNorm'd train step (SyncBN
-semantics), and the tmpdir-pickle eval merge run twice (re-entrancy).
+Each worker is one "host" with ``devices_per_proc`` virtual CPU devices,
+joined into one global mesh via jax.distributed. The default 2x4 topology
+matches a 2-host v5e slice; the 8x1 variant (VERDICT r3 item 10) matches
+pod topology (one process per chip). Exercises the full multi-host surface
+the reference covers with NCCL (common_utils.py:114-195): cluster init,
+global collectives, per-process batch sharding, a BatchNorm'd train step
+(SyncBN semantics), eval-sampler striding (datasets/__init__.py:18-38
+parity), and the tmpdir-pickle eval merge run twice (re-entrancy).
 """
 
 import os
@@ -14,8 +18,11 @@ import sys
 from pathlib import Path
 
 port, process_id, tmpdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+n_procs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+dev_per_proc = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
-os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+os.environ['XLA_FLAGS'] = (
+    f'--xla_force_host_platform_device_count={dev_per_proc}')
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import jax  # noqa: E402
@@ -39,20 +46,38 @@ from hvpr_tpu.utils.common_utils import (get_dist_info, init_dist_jax,  # noqa: 
                                          merge_results_dist)
 
 rank, world_size = init_dist_jax(
-    coordinator_address=f'localhost:{port}', num_processes=2,
+    coordinator_address=f'localhost:{port}', num_processes=n_procs,
     process_id=process_id)
-assert (rank, world_size) == (process_id, 2), (rank, world_size)
-assert jax.device_count() == 8, jax.device_count()
-assert len(jax.local_devices()) == 4
+assert (rank, world_size) == (process_id, n_procs), (rank, world_size)
+n_global = n_procs * dev_per_proc
+assert jax.device_count() == n_global, jax.device_count()
+assert len(jax.local_devices()) == dev_per_proc
 
 mesh = make_mesh()
 
 # --- cross-process collective: global sum of a process-sharded batch -------
-local = np.full((4, 3), float(rank + 1), np.float32)        # global (8, 3)
+local = np.full((dev_per_proc, 3), float(rank + 1), np.float32)
 global_x = shard_host_batch({'x': local}, mesh)['x']
-assert global_x.shape == (8, 3)
+assert global_x.shape == (n_global, 3)
 total = jax.jit(jnp.sum)(global_x)
-assert float(total) == (1 + 2) * 4 * 3, float(total)
+expect = sum(r + 1 for r in range(n_procs)) * dev_per_proc * 3
+assert float(total) == expect, (float(total), expect)
+
+# --- padded strided eval sampler: every scan covered exactly once per epoch,
+# ranks padded to equal length (reference datasets/__init__.py:18-38) --------
+from hvpr_tpu.datasets import _StridedEvalSampler  # noqa: E402
+
+
+class _FakeDS:
+    def __len__(self):
+        return 11   # not divisible by any world size used here
+
+
+sampler = _StridedEvalSampler(_FakeDS(), world_size, rank)
+my_idx = list(sampler)
+assert len(my_idx) == len(sampler) == -(-11 // world_size), my_idx
+pad = list(range(11)) + list(range(11))[:len(sampler) * world_size - 11]
+assert my_idx == pad[rank::world_size], (rank, my_idx)
 
 # --- BatchNorm'd train step over the global mesh (SyncBN semantics) --------
 class TinyNet(nn.Module):
@@ -66,11 +91,12 @@ class TinyNet(nn.Module):
 
 
 net = TinyNet()
-rng = np.random.RandomState(0)                               # same on both ranks
-full_pts = rng.randn(8, 3).astype(np.float32)
-full_y = rng.randn(8).astype(np.float32)
-local_batch = {'points': full_pts[rank * 4:(rank + 1) * 4],
-               'y': full_y[rank * 4:(rank + 1) * 4]}
+rng = np.random.RandomState(0)                               # same on all ranks
+full_pts = rng.randn(n_global, 3).astype(np.float32)
+full_y = rng.randn(n_global).astype(np.float32)
+local_batch = {
+    'points': full_pts[rank * dev_per_proc:(rank + 1) * dev_per_proc],
+    'y': full_y[rank * dev_per_proc:(rank + 1) * dev_per_proc]}
 
 variables = net.init(jax.random.PRNGKey(0), {'points': full_pts, 'y': full_y},
                      train=True)
@@ -94,11 +120,11 @@ np.testing.assert_allclose(bn_mean, ref_mean, rtol=1e-5, atol=1e-6)
 # --- eval-result merge, twice in the same tmpdir (re-entrancy) -------------
 for round_i in range(2):
     part = [f'r{round_i}_rank{rank}_item{i}' for i in range(3)]
-    merged = merge_results_dist(part, size=6, tmpdir=tmpdir)
+    merged = merge_results_dist(part, size=3 * world_size, tmpdir=tmpdir)
     if rank == 0:
-        assert merged == ['r%d_rank0_item0' % round_i, 'r%d_rank1_item0' % round_i,
-                          'r%d_rank0_item1' % round_i, 'r%d_rank1_item1' % round_i,
-                          'r%d_rank0_item2' % round_i, 'r%d_rank1_item2' % round_i], merged
+        expected = [f'r{round_i}_rank{r}_item{i}'
+                    for i in range(3) for r in range(world_size)]
+        assert merged == expected, merged
     else:
         assert merged is None
 
