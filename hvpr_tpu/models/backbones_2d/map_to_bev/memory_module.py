@@ -57,30 +57,43 @@ class MemoryUnitAgg(nn.Module):
             out = jnp.where(valid.any(axis=-1)[..., None], out, 0.0)
         return out
 
-    def train_forward(self, pillars, point_topk, topk_valid=None):
+    def train_forward(self, pillars, points, topk_idx, topk_valid=None):
         """Training: reconstruct the k attentive point features from memory.
 
-        The (B*V*k, M) addressing matrix is ~10 GB at batch 4 — far beyond
-        HBM if materialized at once (the reference can, at batch 1 per GPU).
-        All ops are row-local, so the whole chain (softmax addressing +
-        shrink/renorm + reconstruction) runs as the fused Pallas kernel of
-        :mod:`hvpr_tpu.ops.memory_recon` — the attention tile never leaves
-        VMEM in either pass (276 -> ~20 ms fwd+bwd at batch 4 vs the prior
-        rematerialized lax.map chunking).
+        The reference addresses the memory with every (pillar, k) gathered
+        point feature — B*V*k = 1.28M rows at batch 4, a ~10 GB (rows, M)
+        attention matrix if materialized (the reference can, at batch 1 per
+        GPU). Two TPU moves:
+
+        1. **Deduplicate before reconstructing** (round 4): reconstruction
+           is a pure row-wise function, and the 1.28M gathered rows are
+           copies of only B*N = 65k distinct point features — so reconstruct
+           each point ONCE and gather the results by ``topk_idx``. Exactly
+           the same outputs and gradients (duplicate rows' cotangents sum in
+           the gather backward instead of inside the kernel), at 20x less
+           matmul work: 59 -> ~3 ms fwd+bwd at batch 4.
+        2. The row-local chain (softmax addressing + shrink/renorm +
+           reconstruction) runs as the fused Pallas kernel of
+           :mod:`hvpr_tpu.ops.memory_recon` — the attention tile never
+           leaves VMEM in either pass.
 
         Args:
             pillars: (B, V, C) pillar features.
-            point_topk: (B, V, k, C) top-k attentive point features per pillar.
+            points: (B, N, C) point-stream features (all of them).
+            topk_idx: (B, V, k) int32 — per-pillar top-k point indices from
+                :func:`attentive_point_pooling`.
             topk_valid: (B, V, k) bool — slots filled from padded points are
                 excluded from the aggregation (their "reconstruction" is the
-                memory's response to a zero vector, not a real point).
+                memory's response to a meaningless padded row).
         Returns:
             dict(output=(B, V, C) aggregated reconstructions).
         """
-        b, v, k, c = point_topk.shape
-        recon = memory_recon(point_topk.reshape(-1, c), self.weight,
-                             shrink_thres=self.shrink_thres)
-        recon = recon.reshape(b, v, k, c)
+        b, n, c = points.shape
+        recon_all = memory_recon(points.reshape(-1, c), self.weight,
+                                 shrink_thres=self.shrink_thres)
+        recon_all = recon_all.reshape(b, n, c)
+        recon = jnp.take_along_axis(recon_all[:, None, :, :],
+                                    topk_idx[..., None], axis=2)  # (B, V, k, C)
         output = self._aggregate(recon, pillars, valid=topk_valid)
         return {'output': output}
 

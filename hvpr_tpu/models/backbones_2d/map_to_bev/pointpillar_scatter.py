@@ -80,8 +80,10 @@ def attentive_point_pooling(points, point_mask, pillars, k, chunk=2048):
         chunk: pillars processed per chunk (bounds the (N, chunk) score matrix).
     Returns:
         output: (B, V, C) attentive point feature per pillar.
-        topk_feats: (B, V, k, C) the top-k point features (memory input);
-            rows selected from padded points are zeroed.
+        topk_idx: (B, V, k) int32 indices of the selected points (memory-path
+            consumers gather what they need — returning the gathered
+            (B, V, k, C) features themselves cost a 327 MB HBM transpose
+            per step at flagship shapes).
         topk_valid: (B, V, k) bool — False where fewer than k valid points
             existed and the selection had to fall back to padded rows.
     """
@@ -123,13 +125,13 @@ def attentive_point_pooling(points, point_mask, pillars, k, chunk=2048):
                       + sel_neg)                              # (B, chunk, k)
         agg_w = jax.lax.stop_gradient(jax.nn.softmax(agg_logits, axis=-1))
         out = (agg_w[..., None] * pts).sum(axis=2)            # (B, chunk, C)
-        return out, pts, sel_neg > -0.5
+        return out, idx, sel_neg > -0.5
 
-    outs, tops, valids = jax.lax.map(process, pillars_c)      # (nc, B, chunk, ...)
+    outs, idxs, valids = jax.lax.map(process, pillars_c)      # (nc, B, chunk, ...)
     output = outs.transpose(1, 0, 2, 3).reshape(b, v + pad, c)[:, :v]
-    topk_feats = tops.transpose(1, 0, 2, 3, 4).reshape(b, v + pad, k, c)[:, :v]
+    topk_idx = idxs.transpose(1, 0, 2, 3).reshape(b, v + pad, k)[:, :v]
     topk_valid = valids.transpose(1, 0, 2, 3).reshape(b, v + pad, k)[:, :v]
-    return output, topk_feats, topk_valid
+    return output, topk_idx, topk_valid
 
 
 class PointPillarScatterAggMemory1Scale(nn.Module):
@@ -168,9 +170,10 @@ class PointPillarScatterAggMemory1Scale(nn.Module):
             if pmask is None:
                 pmask = jnp.ones(points.shape[:2], dtype=bool)
 
-            point_agg, point_topk, topk_valid = attentive_point_pooling(
+            point_agg, topk_idx, topk_valid = attentive_point_pooling(
                 points, pmask, pillars, k)
-            mem = self.memory.train_forward(pillars, point_topk, topk_valid)
+            mem = self.memory.train_forward(pillars, points, topk_idx,
+                                            topk_valid)
             mem_agg = mem['output']                           # (B, V, C)
 
             fused_mem = jnp.concatenate(

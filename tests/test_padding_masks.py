@@ -57,14 +57,16 @@ def test_attentive_pooling_excludes_padded_points():
     mask = np.zeros((1, n), bool)
     mask[0, :3] = True  # only 3 valid points, k=5
 
-    out, topk, valid = attentive_point_pooling(
+    out, idx, valid = attentive_point_pooling(
         jnp.asarray(points), jnp.asarray(mask), jnp.asarray(pillars), k, chunk=4)
-    out, topk, valid = np.asarray(out), np.asarray(topk), np.asarray(valid)
+    out, idx, valid = np.asarray(out), np.asarray(idx), np.asarray(valid)
 
     assert valid.shape == (1, v, k)
     assert valid.sum(axis=-1).tolist() == [[3] * v]  # exactly the 3 valid rows
-    # invalid slots are zeroed in the memory input
-    assert (topk[~valid[..., None].repeat(c, -1).reshape(1, v, k, c)] == 0).all()
+    # valid slots index only real points; the valid mask marks exactly the
+    # slots whose selected point is a valid one
+    assert (idx[valid] < 3).all()
+    assert (idx[~valid] >= 3).all()
 
     # manual oracle over the 3 valid points only
     val_pts = points[0, :3]                                   # (3, C)
@@ -81,11 +83,10 @@ def test_attentive_pooling_all_invalid_is_zero():
     points = rng.normal(size=(1, n, c)).astype(np.float32)
     pillars = rng.normal(size=(1, v, c)).astype(np.float32)
     mask = np.zeros((1, n), bool)
-    out, topk, valid = attentive_point_pooling(
+    out, idx, valid = attentive_point_pooling(
         jnp.asarray(points), jnp.asarray(mask), jnp.asarray(pillars), k, chunk=4)
     assert not np.asarray(valid).any()
     assert (np.asarray(out) == 0).all()
-    assert (np.asarray(topk) == 0).all()
 
 
 def test_memory_aggregation_masks_invalid_candidates():
@@ -94,15 +95,50 @@ def test_memory_aggregation_masks_invalid_candidates():
     mem = MemoryUnitAgg(mem_dim=16, fea_dim=6, shrink_thres=0.0)
     rng = np.random.default_rng(2)
     pillars = rng.normal(size=(1, 2, 6)).astype(np.float32)
-    topk = rng.normal(size=(1, 2, 3, 6)).astype(np.float32)
+    points = rng.normal(size=(1, 5, 6)).astype(np.float32)
+    idx = np.array([[[0, 2, 4], [1, 3, 4]]], np.int32)
     valid = np.array([[[True, True, False], [False, False, False]]])
 
     vars_ = mem.init(jax.random.PRNGKey(0), jnp.asarray(pillars), 2)
-    out = mem.apply(vars_, jnp.asarray(pillars), jnp.asarray(topk),
-                    jnp.asarray(valid), method=MemoryUnitAgg.train_forward)
+    out = mem.apply(vars_, jnp.asarray(pillars), jnp.asarray(points),
+                    jnp.asarray(idx), jnp.asarray(valid),
+                    method=MemoryUnitAgg.train_forward)
     out = np.asarray(out['output'])
     assert (out[0, 1] == 0).all()
     assert np.abs(out[0, 0]).sum() > 0
+
+
+def test_train_forward_dedup_matches_gather_then_recon():
+    """Round-4 restructure: train_forward reconstructs each point ONCE and
+    gathers the results (recon is row-wise, so recon-then-gather ==
+    gather-then-recon, the reference's order memory_module.py:37-49). The
+    output must match an oracle that gathers features per (pillar, k) slot
+    first and reconstructs the duplicated rows."""
+    from hvpr_tpu.ops.memory_recon import memory_recon
+
+    mem = MemoryUnitAgg(mem_dim=16, fea_dim=6, shrink_thres=0.0025)
+    rng = np.random.default_rng(4)
+    b, n, v, k, c = 2, 9, 4, 3, 6
+    pillars = jnp.asarray(rng.normal(size=(b, v, c)).astype(np.float32))
+    points = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, size=(b, v, k)).astype(np.int32))
+    valid = jnp.asarray(rng.uniform(size=(b, v, k)) > 0.3)
+
+    vars_ = mem.init(jax.random.PRNGKey(0), pillars, 2)
+    new = mem.apply(vars_, pillars, points, idx, valid,
+                    method=MemoryUnitAgg.train_forward)['output']
+
+    # oracle: reference order — gather the (B, V, k, C) features, then
+    # reconstruct every duplicated row, then the same aggregation
+    w = vars_['params']['weight']
+    feats = jnp.take_along_axis(points[:, None, :, :], idx[..., None], axis=2)
+    recon = memory_recon(feats.reshape(-1, c), w,
+                         shrink_thres=0.0025).reshape(b, v, k, c)
+    want = mem.apply(vars_, recon, pillars, None, valid,
+                     method=MemoryUnitAgg._aggregate)
+
+    np.testing.assert_allclose(np.asarray(new), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_masked_batchnorm_running_var_matches_torch():
