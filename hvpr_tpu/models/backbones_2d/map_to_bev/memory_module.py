@@ -97,6 +97,39 @@ class MemoryUnitAgg(nn.Module):
         output = self._aggregate(recon, pillars, valid=topk_valid)
         return {'output': output}
 
+    def train_forward_fused(self, pillars, points, neg, thresh):
+        """Training path with NO (B, V, k, C) gathers (round 4).
+
+        Same selection set and gradient topology as :meth:`train_forward`
+        (which remains as the parity oracle): each point is reconstructed
+        from memory ONCE, then the per-pillar aggregation runs as the fused
+        top-k-masked attention of :mod:`hvpr_tpu.ops.topk_attend` — the
+        selection scores are ``pillar . point`` (the SAME threshold the
+        point pooling used), the aggregation logits are
+        ``pillar . reconstruction`` (matching _aggregate's candidate-pillar
+        dot products), and the only cotangent is the masked-weight
+        transposed matmul into the reconstructions. Selection is the
+        bucket-threshold SUPERSET of the exact top-k (see topk_attend
+        docstring; strictly closer to exact-k than the shipped
+        approx_max_k(recall=0.95) gather path).
+
+        Args:
+            pillars: (B, V, C). points: (B, N, C).
+            neg: (B, N) f32 additive mask — 0 valid, -1e30 padded.
+            thresh: (B, V) f32 from ops.topk_attend.bucket_threshold over
+                (pillars, points, neg).
+        Returns:
+            dict(output=(B, V, C) aggregated reconstructions).
+        """
+        from ....ops.topk_attend import masked_attend
+        b, n, c = points.shape
+        recon_all = memory_recon(points.reshape(-1, c), self.weight,
+                                 shrink_thres=self.shrink_thres)
+        recon_all = recon_all.reshape(b, n, c)
+        output = masked_attend(pillars, points, recon_all, neg, thresh,
+                               shared=False)
+        return {'output': output}
+
     def eval_forward(self, pillars, k, mode: str = 'fused'):
         """Inference: pillars address the memory; top-k rows are aggregated.
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ....ops.bev_canvas import canvas_from_sorted
 from ....ops.scatter import scatter_to_bev
+from ....ops.topk_attend import bucket_threshold, masked_attend
 from .memory_module import MemoryUnitAgg
 
 
@@ -153,6 +154,17 @@ class PointPillarScatterAggMemory1Scale(nn.Module):
             mode = 'exact'
         assert mode in ('fused', 'approx', 'exact'), mode
         self.topk_mode = mode
+        # train-path point<->pillar aggregation lowering (round 4):
+        # 'fused' — ops/topk_attend bucket-threshold + masked-softmax matmul
+        #   kernels, zero (B, V, k, C) gathers (pooling fwd+bwd 64.5 ms +
+        #   memory 36.4 ms -> matmul-bound; selection is a tie-inclusive
+        #   SUPERSET of exact top-k);
+        # 'gather' — approx_max_k + take_along_axis (rounds 1-3, the parity
+        #   oracle for tests/A-B).
+        train_mode = str(
+            self.model_cfg.get('TRAIN_ATTEND_MODE', 'fused')).lower()
+        assert train_mode in ('fused', 'gather'), train_mode
+        self.train_attend_mode = train_mode
 
     def __call__(self, batch_dict, train: bool = False):
         nx, ny, nz = (int(g) for g in self.grid_size)
@@ -170,10 +182,22 @@ class PointPillarScatterAggMemory1Scale(nn.Module):
             if pmask is None:
                 pmask = jnp.ones(points.shape[:2], dtype=bool)
 
-            point_agg, topk_idx, topk_valid = attentive_point_pooling(
-                points, pmask, pillars, k)
-            mem = self.memory.train_forward(pillars, points, topk_idx,
-                                            topk_valid)
+            if self.train_attend_mode == 'fused':
+                # one top-k threshold feeds BOTH aggregations — the
+                # reference reuses get_score's top-k set for the memory
+                # path the same way (pointpillar_scatter.py:79-83 ->
+                # memory_module.py:53-57)
+                neg = jnp.where(pmask, 0.0, -1e30).astype(jnp.float32)
+                thresh = bucket_threshold(pillars, points, neg, k)
+                point_agg = masked_attend(pillars, points, points, neg,
+                                          thresh, shared=True)
+                mem = self.memory.train_forward_fused(pillars, points, neg,
+                                                      thresh)
+            else:
+                point_agg, topk_idx, topk_valid = attentive_point_pooling(
+                    points, pmask, pillars, k)
+                mem = self.memory.train_forward(pillars, points, topk_idx,
+                                                topk_valid)
             mem_agg = mem['output']                           # (B, V, C)
 
             fused_mem = jnp.concatenate(
