@@ -130,7 +130,7 @@ class MemoryUnitAgg(nn.Module):
                                shared=False)
         return {'output': output}
 
-    def eval_forward(self, pillars, k, mode: str = 'fused'):
+    def eval_forward(self, pillars, k, mode: str = 'fused', vmask=None):
         """Inference: pillars address the memory; top-k rows are aggregated.
 
         TPU note: softmax is monotonic, so top-k runs on the raw logits.
@@ -147,14 +147,42 @@ class MemoryUnitAgg(nn.Module):
 
         Args:
             pillars: (B, V, C); k: static int; mode: see above.
+            vmask: optional (B, V) pillar validity. When given, the fused
+                lookup runs only on the shortest quarter-of-V prefix
+                containing every valid row (``lax.switch`` over four prefix
+                lengths, chosen by the LAST valid index — exact for any mask
+                layout; invalid rows' outputs are discarded by the canvas
+                scatter anyway). The device voxelizer compacts valid pillars
+                to a per-sample prefix and a typical KITTI scan fills ~half
+                of the 16k slots, so serving usually runs the half-length
+                branch (reference contract data_processor.py:50-55).
         Returns:
             dict(output=(B, V, C)); plus att=(B, V, M) addressing logits for
             the exact/approx modes (unused downstream in eval — DCE'd).
         """
         if mode == 'fused':
             b, v, c = pillars.shape
-            out = memory_lookup_fused(pillars.reshape(b * v, c), self.weight, k)
-            return {'output': out.reshape(b, v, c).astype(pillars.dtype)}
+
+            def run_prefix(vp):
+                out_p = memory_lookup_fused(
+                    pillars[:, :vp].reshape(b * vp, c), self.weight, k)
+                out_p = out_p.reshape(b, vp, c)
+                if vp == v:
+                    return out_p
+                return jnp.concatenate(
+                    [out_p, jnp.zeros((b, v - vp, c), out_p.dtype)], axis=1)
+
+            if vmask is None or v < 512:
+                out = run_prefix(v)
+            else:
+                quarters = [max(1, (v * q) // 4) for q in (1, 2, 3, 4)]
+                need = jnp.max(jnp.where(
+                    vmask, jnp.arange(v, dtype=jnp.int32)[None, :] + 1, 0))
+                level = jnp.searchsorted(jnp.asarray(quarters), need,
+                                         side='left')
+                out = jax.lax.switch(
+                    level, [lambda vp=vp: run_prefix(vp) for vp in quarters])
+            return {'output': out.astype(pillars.dtype)}
 
         logits = jnp.einsum('bvc,mc->bvm', pillars, self.weight)
         logits = jax.lax.stop_gradient(logits)

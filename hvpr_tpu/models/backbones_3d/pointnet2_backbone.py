@@ -15,6 +15,7 @@ detectors/pointpillar.py:54-55).
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops import pointnet2 as pn2
@@ -102,7 +103,10 @@ class FPModule(nn.Module):
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
                  unknown_mask, known_mask, train: bool):
         dist, idx = pn2.three_nn(unknown_xyz, known_xyz, known_mask)
-        weight = pn2.three_nn_interpolate_weights(dist)
+        # coordinates are requires_grad=False in the reference — the weights
+        # are selection machinery, not a gradient path (also keeps the AD
+        # topology identical between the Pallas and XLA three_nn lowerings)
+        weight = jax.lax.stop_gradient(pn2.three_nn_interpolate_weights(dist))
         interpolated = pn2.three_interpolate(known_feats, idx, weight)  # (B, N, C)
         if unknown_feats is not None:
             interpolated = jnp.concatenate([interpolated, unknown_feats], axis=-1)

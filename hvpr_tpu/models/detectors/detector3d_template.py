@@ -119,22 +119,48 @@ def post_processing(batch_dict, post_cfg, num_class):
 
     post_max = int(nms_cfg['NMS_POST_MAXSIZE'])
 
-    def process_one(cls_p, box_p):
+    def process_one(cls_p, box_p, pre_k):
         """Returns (boxes, scores, labels, mask, capped) — capped = survivors
         dropped by the (per-class) NMS_POST_MAXSIZE cap."""
         if multi_class:
             return multi_classes_nms(
-                cls_p, box_p, nms_cfg, score_thresh=score_thresh)
+                cls_p, box_p, nms_cfg, score_thresh=score_thresh,
+                pre_maxsize=pre_k)
         scores = cls_p.max(axis=-1)
         labels = cls_p.argmax(axis=-1) + 1
         keep_idx, keep_mask, num_kept = class_agnostic_nms(
-            scores, box_p, nms_cfg, score_thresh=score_thresh)
+            scores, box_p, nms_cfg, score_thresh=score_thresh,
+            pre_maxsize=pre_k)
         return (box_p[keep_idx], scores[keep_idx],
                 labels[keep_idx].astype(jnp.int32), keep_mask,
                 jnp.clip(num_kept - post_max, 0, None))
 
-    boxes, scores, labels, mask, capped = jax.vmap(process_one)(
-        cls_preds, box_preds)
+    def run_nms(pre_k):
+        return jax.vmap(lambda c, b: process_one(c, b, pre_k))(
+            cls_preds, box_preds)
+
+    # Hierarchical NMS (ops/nms.py module docstring): the (K, K) rotated-IoU
+    # matrix dominates post-processing, so when few candidates clear
+    # SCORE_THRESH the top-stage1 run is bit-exact vs the full
+    # NMS_PRE_MAXSIZE run. The branch lives HERE, above the batch vmap, on an
+    # unbatched predicate — a vmapped lax.cond lowers to select and would
+    # execute BOTH branches.
+    pre_max = min(int(nms_cfg['NMS_PRE_MAXSIZE']), cls_preds.shape[1])
+    stage1 = min(int(nms_cfg.get('NMS_STAGE1_MAXSIZE', 1024)), pre_max)
+    if score_thresh is not None and stage1 < pre_max:
+        if multi_class:
+            # each per-class NMS must have its live set inside stage1
+            n_live = jnp.max(jnp.sum(cls_preds >= score_thresh, axis=1))
+        else:
+            # the agnostic NMS scores anchors by their max-class score
+            n_live = jnp.max(jnp.sum(
+                cls_preds.max(axis=-1) >= score_thresh, axis=-1))
+        boxes, scores, labels, mask, capped = jax.lax.cond(
+            n_live <= stage1,
+            lambda: run_nms(stage1),
+            lambda: run_nms(pre_max))
+    else:
+        boxes, scores, labels, mask, capped = run_nms(pre_max)
     out = {
         'pred_boxes': boxes, 'pred_scores': scores,
         'pred_labels': labels, 'pred_mask': mask,

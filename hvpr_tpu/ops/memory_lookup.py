@@ -50,12 +50,13 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _bmax_kernel(pill_ref, memT_ref, bmax_ref, *, m_valid):
+def _bmax_kernel(pill_ref, memT_ref, bias_ref, bmax_ref):
+    # padded memory columns are masked by an additive bias row (0 valid,
+    # -1e30 padded) — one VPU pass instead of the iota+compare+where three
     logits = jnp.dot(pill_ref[:], memT_ref[:],
                      preferred_element_type=jnp.float32)       # (T, Mp)
+    logits = logits + bias_ref[:]
     t, mp = logits.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, mp), 1)
-    logits = jnp.where(col < m_valid, logits, _NEG)
     bmax_ref[:] = jnp.max(
         logits.reshape(t, mp // _NUM_BUCKETS, _NUM_BUCKETS), axis=1)
 
@@ -84,18 +85,21 @@ def _thresh_loop(bmax, k):
 
 
 def _thresh_kernel(bmax_ref, th_ref, *, k):
-    th = _thresh_loop(bmax_ref[:], k)                          # (T2, 1)
-    th_ref[:] = jnp.broadcast_to(th, th_ref.shape)
+    bmax = bmax_ref[:]
+    th = _thresh_loop(bmax, k)                                 # (T2, 1)
+    # lane 0 carries the threshold, lane 1 the row max (= max of the bucket
+    # maxima) so the apply kernel skips its own full-width max pass
+    mx = jnp.max(bmax, axis=-1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, th_ref.shape, 1)
+    th_ref[:] = jnp.where(lane == 0, th, mx)
 
 
-def _apply_kernel(pill_ref, memT_ref, mem_ref, th_ref, out_ref, *, m_valid):
+def _apply_kernel(pill_ref, memT_ref, mem_ref, bias_ref, th_ref, out_ref):
     logits = jnp.dot(pill_ref[:], memT_ref[:],
                      preferred_element_type=jnp.float32)       # (T, Mp)
-    t, mp = logits.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, mp), 1)
-    logits = jnp.where(col < m_valid, logits, _NEG)
+    logits = logits + bias_ref[:]
     th = th_ref[:, :1]
-    mx = jnp.max(logits, axis=-1, keepdims=True)
+    mx = th_ref[:, 1:2]
     e = jnp.where(logits >= th, jnp.exp(logits - mx), 0.0)
     w = e * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
     out_ref[:] = jnp.dot(w.astype(jnp.bfloat16), mem_ref[:],
@@ -159,19 +163,22 @@ def memory_lookup_fused(pillars, memory, k, block_rows=1024,
         return out[:r, :c]
 
     interp = bool(interpret)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1)
+    bias = jnp.where(col < m, 0.0, _NEG).astype(jnp.float32)   # (1, Mp)
     bmax = pl.pallas_call(
-        functools.partial(_bmax_kernel, m_valid=m),
+        _bmax_kernel,
         grid=(rp // block_rows,),
         in_specs=[
             pl.BlockSpec((block_rows, cp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cp, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, _NUM_BUCKETS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, _NUM_BUCKETS), jnp.float32),
         interpret=interp,
-    )(pill_p, memT_p)
+    )(pill_p, memT_p, bias)
 
     thresh = pl.pallas_call(
         functools.partial(_thresh_kernel, k=k),
@@ -187,13 +194,14 @@ def memory_lookup_fused(pillars, memory, k, block_rows=1024,
     )(bmax)
 
     out = pl.pallas_call(
-        functools.partial(_apply_kernel, m_valid=m),
+        _apply_kernel,
         grid=(rp // block_rows,),
         in_specs=[
             pl.BlockSpec((block_rows, cp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cp, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -201,5 +209,5 @@ def memory_lookup_fused(pillars, memory, k, block_rows=1024,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, cp), jnp.float32),
         interpret=interp,
-    )(pill_p, memT_p, mem_p, thresh)
+    )(pill_p, memT_p, mem_p, bias, thresh)
     return out[:r, :c]

@@ -15,6 +15,17 @@ sorted prefix), and each iteration resolves at least one more prefix
 position, so a while-loop with a convergence check is exact and typically
 terminates in a handful of iterations. Each iteration is one (K, K) masked
 reduction — pure VPU work on a matrix that fits in VMEM for K <= 4096.
+
+The (K, K) rotated-IoU matrix dominates (36 ms per 8-scan batch at K=4096,
+2.3 ms at K=1024), so ``nms_bev_fixed`` is HIERARCHICAL: it first runs the
+full algorithm on the top ``stage1`` candidates, which is *exactly*
+equivalent to the K=pre_maxsize run whenever at most ``stage1`` scores are
+finite (every live candidate is then inside the stage-1 set, and -inf rows
+neither suppress nor survive); a ``lax.cond`` falls back to the full
+pre_maxsize run otherwise. A trained HVPR emits far fewer than 1024
+candidates above SCORE_THRESH=0.1, so serving takes the cheap branch while
+the reference's NMS_PRE_MAXSIZE=4096 contract (hvpr.yaml:147) is preserved
+bit-exactly.
 """
 
 from functools import partial
@@ -25,26 +36,8 @@ import jax.numpy as jnp
 from .rotated_iou import boxes_iou_bev
 
 
-@partial(jax.jit, static_argnames=('pre_maxsize', 'post_maxsize'))
-def nms_bev_fixed(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=500):
-    """Rotated BEV NMS with fixed-size outputs.
-
-    Args:
-        boxes: (N, 7) [x, y, z, dx, dy, dz, heading]; padded rows allowed.
-        scores: (N,) confidence; padded/invalid rows must carry ``-inf``.
-        thresh: IoU suppression threshold.
-        pre_maxsize: top-K candidates entering NMS (static).
-        post_maxsize: max kept boxes (static).
-
-    Returns:
-        keep_idx: (post_maxsize,) indices into the input arrays (padded with 0).
-        keep_mask: (post_maxsize,) bool validity of each slot.
-        num_kept: () int32 — total suppression survivors BEFORE the
-            post_maxsize cap; ``num_kept > post_maxsize`` means boxes were
-            dropped by the cap (the reference silently truncates the same
-            way, model_nms_utils.py:23-24 — here it is observable).
-    """
-    k = min(pre_maxsize, boxes.shape[0])
+def _nms_topk(boxes, scores, k, thresh, post_maxsize):
+    """Greedy NMS over the top-k candidates (fixed-point iteration)."""
     if boxes.shape[0] > k:
         # approx_max_k with aggregate_to_topk performs a cheap partial
         # reduction then an exact sort of the survivors (descending) — the
@@ -85,3 +78,41 @@ def nms_bev_fixed(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=500):
     safe = jnp.where(slot_valid, out_idx, 0)
     keep_idx = order[safe]
     return keep_idx.astype(jnp.int32), slot_valid, keep.sum().astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=('pre_maxsize', 'post_maxsize', 'stage1'))
+def nms_bev_fixed(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=500,
+                  stage1=1024):
+    """Rotated BEV NMS with fixed-size outputs (hierarchical, exact).
+
+    Args:
+        boxes: (N, 7) [x, y, z, dx, dy, dz, heading]; padded rows allowed.
+        scores: (N,) confidence; padded/invalid rows must carry ``-inf``.
+        thresh: IoU suppression threshold.
+        pre_maxsize: top-K candidates entering NMS (static) — the reference
+            contract (hvpr.yaml:147).
+        post_maxsize: max kept boxes (static).
+        stage1: static size of the cheap first stage; when more than
+            ``stage1`` scores are finite a ``lax.cond`` falls back to the
+            full ``pre_maxsize`` run (see module docstring). Set
+            ``stage1 >= pre_maxsize`` to force the single-stage path.
+
+    Returns:
+        keep_idx: (post_maxsize,) indices into the input arrays (padded with 0).
+        keep_mask: (post_maxsize,) bool validity of each slot.
+        num_kept: () int32 — total suppression survivors BEFORE the
+            post_maxsize cap; ``num_kept > post_maxsize`` means boxes were
+            dropped by the cap (the reference silently truncates the same
+            way, model_nms_utils.py:23-24 — here it is observable).
+    """
+    k = min(pre_maxsize, boxes.shape[0])
+    s1 = min(stage1, k)
+    if s1 >= k:
+        return _nms_topk(boxes, scores, k, thresh, post_maxsize)
+
+    n_live = jnp.sum(scores > -jnp.inf)
+    return jax.lax.cond(
+        n_live <= s1,
+        lambda b, s: _nms_topk(b, s, s1, thresh, post_maxsize),
+        lambda b, s: _nms_topk(b, s, k, thresh, post_maxsize),
+        boxes, scores)

@@ -1,0 +1,195 @@
+"""Streamed neighbor-selection kernels for the PointNet++ point stream.
+
+TPU-native replacement for the selection half of the reference CUDA ops
+``pcdet/ops/pointnet2`` (ball_query + three_nn; setup.py:79-109, consumed by
+pointnet2_backbone.py:27,43): the shipped XLA lowering materializes the full
+(centers, points) distance matrix in HBM — 268 MB per radius at flagship
+shapes — and runs a 16384-wide ``approx_max_k`` over it (measured 3.9-10 ms
+per call at B=4). These kernels never materialize it: one Pallas pass
+streams the point axis through VMEM in chunks, computes squared distances
+on the VPU in f32 (bf16 matmul distances would quantize ~47 m coordinates
+far too coarsely for the r=0.1 ball), and folds a per-center, per-BUCKET
+running minimum where bucket = point_index mod 128 (the lane index — the
+same strided bucketing as ops/memory_lookup/topk_attend, preserved by any
+128-aligned chunking). The (B, Q, 128) bucket-min table is the only HBM
+output; the final top-k runs over 128 lanes instead of 16384.
+
+Selection semantics vs the reference CUDA kernels (documented deviation,
+same family as the shipped ``approx_max_k(recall=0.95)`` path these kernels
+replace):
+
+* ``ball_query``: the reference keeps the FIRST ``nsample`` in-radius points
+  by index. The bucket kernel keeps the first in-radius point of each of the
+  ``nsample`` lowest-indexed nonempty buckets — exactly the reference set
+  whenever no two selected points are 128 apart in index (always true for
+  N <= 128; overwhelmingly true after the pipeline's point shuffle), and a
+  spatially unbiased in-radius subset otherwise. Neighbors are
+  interchangeable under the max-pooled shared MLP (the argument already
+  relied on for approx_max_k, ops/pointnet2.py:141-143).
+* ``three_nn``: per-bucket argmin of distance; the 3 nearest BUCKETS'
+  representatives instead of the 3 nearest points. Identical unless two of
+  the true 3 nearest share a bucket; the replacement is the next-nearest
+  point outside their buckets, whose inverse-distance weight is nearly
+  identical (the prior approx_max_k path accepted the same swap at
+  recall 0.95).
+
+Both ops are selection machinery: outputs are indices/counts (AD-inert) and
+distances explicitly stop-gradient'd (the reference computes them from
+``requires_grad=False`` coordinates).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+_NUM_BUCKETS = 128
+_INF = 1e10  # ops/pointnet2.INF — the masked-distance sentinel of the XLA twin
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _sweep_kernel(cent_ref, pts_ref, neg_ref, key_ref, idx_ref, *,
+                  mode, r2, chunk):
+    """One (center block, point chunk) step of the bucket-min sweep.
+
+    key/idx blocks are revisited across the (innermost) point sweep and hold
+    the per-center running bucket minima (key) and their point indices (idx,
+    stored as f32 — indices < 2^24 are exact).
+    """
+    ncid = pl.program_id(2)
+
+    @pl.when(ncid == 0)
+    def _():
+        key_ref[0] = jnp.full_like(key_ref[0], _BIG)
+        idx_ref[0] = jnp.zeros_like(idx_ref[0])
+
+    cent = cent_ref[0]                                     # (bq, 128)
+    cx, cy, cz = cent[:, 0:1], cent[:, 1:2], cent[:, 2:3]  # (bq, 1)
+    pts = pts_ref[0]                                       # (8, chunk)
+    px, py, pz = pts[0:1, :], pts[1:2, :], pts[2:3, :]     # (1, chunk)
+    d2 = (cx - px) ** 2 + (cy - py) ** 2 + (cz - pz) ** 2  # (bq, chunk) f32
+    d2 = d2 - neg_ref[0]                # invalid lanes: neg=-1e30 -> d2 huge
+
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) \
+        .astype(jnp.float32) + jnp.float32(ncid * chunk)   # (1, chunk)
+    if mode == 'ball':
+        key = jnp.where(d2 < r2, jnp.broadcast_to(gidx, d2.shape), _BIG)
+        payload = key                   # the key IS the index
+    else:                               # 'nn': key = d2, payload = index
+        key = d2
+        payload = jnp.broadcast_to(gidx, d2.shape)
+
+    bq = key.shape[0]
+    kr = key.reshape(bq, chunk // _NUM_BUCKETS, _NUM_BUCKETS)
+    kmin = kr.min(axis=1)                                  # (bq, 128)
+    if mode == 'ball':
+        pmin = kmin
+    else:
+        pr = payload.reshape(bq, chunk // _NUM_BUCKETS, _NUM_BUCKETS)
+        pmin = jnp.where(kr <= kmin[:, None, :], pr, _BIG).min(axis=1)
+
+    upd = kmin < key_ref[0]
+    idx_ref[0] = jnp.where(upd, pmin, idx_ref[0])
+    key_ref[0] = jnp.where(upd, kmin, key_ref[0])
+
+
+def _bucket_sweep(centers, points, neg, mode, r2=0.0, block_q=256,
+                  block_n=2048, interpret=False):
+    """Per-center per-bucket running-min sweep.
+
+    Args:
+        centers: (B, Q, 3) f32 query centers.
+        points: (B, N, 3) f32 support points.
+        neg: (B, N) f32 additive validity mask — 0 valid, -1e30 padded.
+        mode: 'ball' (key = in-radius point index) or 'nn' (key = d2).
+    Returns:
+        key (B, Q, 128) f32 bucket minima (= index for 'ball', d2 for 'nn');
+        idx (B, Q, 128) f32 point index achieving each bucket minimum.
+    """
+    b, q, _ = centers.shape
+    n = points.shape[1]
+    qp = _round_up(q, block_q)
+    np_ = _round_up(n, _NUM_BUCKETS)
+    chunk = min(block_n, np_)
+    np_ = _round_up(np_, chunk)
+    n_chunks = np_ // chunk
+
+    cent_p = jnp.zeros((b, qp, 128), jnp.float32).at[:, :q, :3].set(
+        centers.astype(jnp.float32))
+    pts_p = jnp.zeros((b, 8, np_), jnp.float32).at[:, :3, :n].set(
+        points.astype(jnp.float32).transpose(0, 2, 1))
+    neg_p = jnp.full((b, 1, np_), -_BIG, jnp.float32).at[:, 0, :n].set(neg)
+
+    key, idx = pl.pallas_call(
+        functools.partial(_sweep_kernel, mode=mode, r2=float(r2),
+                          chunk=chunk),
+        grid=(b, qp // block_q, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda i, j, m: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, chunk), lambda i, j, m: (i, 0, m),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, j, m: (i, 0, m),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, 128), lambda i, j, m: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda i, j, m: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, qp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, qp, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=bool(interpret),
+    )(cent_p, pts_p, neg_p)
+    return key[:, :q], idx[:, :q]
+
+
+def ball_query_bucket(radius, nsample, xyz, new_xyz, mask, interpret=False):
+    """Bucketed ball query — same interface as ops.pointnet2.ball_query.
+
+    Returns:
+        idx: (B, S, nsample) int32 — the first in-radius point of each of
+            the nsample lowest-indexed nonempty buckets; empty slots backfill
+            with the first hit (0 when no hits — XLA-twin contract);
+        cnt: (B, S) int32 genuine neighbors stored.
+    """
+    xyz = jax.lax.stop_gradient(xyz)
+    new_xyz = jax.lax.stop_gradient(new_xyz)
+    neg = jnp.where(mask, 0.0, -_BIG).astype(jnp.float32)
+    key, _ = _bucket_sweep(new_xyz, xyz, neg, 'ball',
+                           r2=float(radius) * float(radius),
+                           interpret=interpret)
+    neg_k, _ = jax.lax.top_k(-key, nsample)          # nsample smallest keys
+    k_sel = -neg_k                                   # ascending index order
+    found = k_sel < _BIG * 0.5
+    idx = jnp.where(found, k_sel, 0.0).astype(jnp.int32)
+    first = idx[..., 0:1]
+    idx = jnp.where(found, idx, first)
+    cnt = found.sum(axis=-1).astype(jnp.int32)
+    return idx, cnt
+
+
+def three_nn_bucket(unknown, known, known_mask, interpret=False):
+    """Bucketed 3-NN — same interface as ops.pointnet2.three_nn."""
+    unknown = jax.lax.stop_gradient(unknown)
+    known = jax.lax.stop_gradient(known)
+    neg = jnp.where(known_mask, 0.0, -_BIG).astype(jnp.float32)
+    key, pidx = _bucket_sweep(unknown, known, neg, 'nn', interpret=interpret)
+    neg_d, pos = jax.lax.top_k(-key, 3)
+    d2 = jnp.minimum(-neg_d, _INF)      # masked sentinel parity w/ XLA twin
+    idx = jnp.take_along_axis(pidx, pos, axis=-1)
+    s = known.shape[1]
+    idx = jnp.clip(idx, 0, s - 1).astype(jnp.int32)
+    dist = jnp.sqrt(jnp.clip(d2, 0.0, None))
+    return jax.lax.stop_gradient(dist), idx

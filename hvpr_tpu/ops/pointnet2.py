@@ -113,7 +113,7 @@ def furthest_point_sample(xyz, mask, npoint, num_chunks=1):
     return jax.vmap(sample_one)(xyz, mask)
 
 
-@partial(jax.jit, static_argnames=('nsample',))
+@partial(jax.jit, static_argnames=('radius', 'nsample'))
 def ball_query(radius, nsample, xyz, new_xyz, mask):
     """For each center, the first ``nsample`` points within ``radius``.
 
@@ -127,7 +127,16 @@ def ball_query(radius, nsample, xyz, new_xyz, mask):
         idx: (B, S, nsample) int32 — first in-radius neighbor repeated into
             empty slots (CUDA-kernel semantics: slot 0's index fills the rest);
         cnt: (B, S) int32 number of genuine neighbors found.
+
+    On TPU this dispatches to the streamed bucket-min Pallas kernel
+    (ops/pn2_select.py — no (S, N) HBM materialization, ~10x faster at
+    flagship shapes); the XLA path below is the CPU/test twin and the
+    semantics oracle.
     """
+    if jax.default_backend() == 'tpu':
+        from .pn2_select import ball_query_bucket
+        return ball_query_bucket(radius, nsample, xyz, new_xyz, mask)
+
     def query_one(pts, centers, m):
         n = pts.shape[0]
         d2 = jnp.sum((centers[:, None, :] - pts[None, :, :]) ** 2, axis=-1)  # (S, N)
@@ -166,6 +175,11 @@ def three_nn(unknown, known, known_mask):
         unknown: (B, N, 3); known: (B, S, 3); known_mask: (B, S) bool.
     Returns:
         dist: (B, N, 3) distances; idx: (B, N, 3) int32.
+
+    Stays on XLA on every backend: the k=3 ``approx_max_k`` is cheap, and
+    the Pallas bucket-min sweep (ops/pn2_select.three_nn_bucket) measured
+    SLOWER here (6.2 vs 4.1 ms at flagship shapes — the payload-select
+    passes outweigh the avoided (N, S) materialization at k=3).
     """
     def one(u, k, m):
         s = k.shape[0]

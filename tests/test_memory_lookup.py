@@ -122,3 +122,43 @@ def test_degenerate_all_zero_rows():
     out = np.asarray(memory_lookup_fused(jnp.asarray(pillars),
                                          jnp.asarray(memory), k=20))
     assert np.all(np.isfinite(out))
+
+
+def test_eval_forward_prefix_switch_parity():
+    """MemoryUnitAgg.eval_forward with vmask: the quarter-prefix lax.switch
+    must reproduce the full-length run on every VALID row (invalid rows are
+    canvas-discarded downstream), for both compacted and scattered masks."""
+    from hvpr_tpu.models.backbones_2d.map_to_bev.memory_module import (
+        MemoryUnitAgg,
+    )
+    rng = np.random.default_rng(0)
+    b, v, c, k = 2, 1024, 16, 5
+    pillars = jnp.asarray(rng.normal(size=(b, v, c)).astype(np.float32))
+    mod = MemoryUnitAgg(mem_dim=64, fea_dim=c, shrink_thres=0.0025)
+    vars_ = mod.init(jax.random.PRNGKey(0), pillars, k)
+
+    full = mod.apply(vars_, pillars, k, method=mod.eval_forward)['output']
+
+    # compacted mask (voxelizer invariant): valid prefix of 300 rows
+    m1 = np.zeros((b, v), bool)
+    m1[:, :300] = True
+    out1 = mod.apply(vars_, pillars, k, 'fused', jnp.asarray(m1),
+                     method=mod.eval_forward)['output']
+    np.testing.assert_allclose(np.asarray(out1)[:, :300],
+                               np.asarray(full)[:, :300], rtol=1e-6, atol=1e-6)
+    # the chosen prefix is the next quarter boundary (512 for 300/1024);
+    # rows beyond it are exactly zero
+    assert (np.asarray(out1)[:, 512:] == 0).all()
+
+    # scattered mask: a valid row deep in the array forces a longer prefix
+    m2 = np.zeros((b, v), bool)
+    m2[:, :100] = True
+    m2[0, 900] = True
+    out2 = mod.apply(vars_, pillars, k, 'fused', jnp.asarray(m2),
+                     method=mod.eval_forward)['output']
+    got = np.asarray(out2)
+    want = np.asarray(full)
+    np.testing.assert_allclose(got[:, :100], want[:, :100], rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(got[0, 900], want[0, 900], rtol=1e-6,
+                               atol=1e-6)

@@ -199,3 +199,46 @@ def test_nms_score_thresh_boundary():
     kept = sorted(np.asarray(keep_idx)[np.asarray(keep_mask)])
     assert kept == [0, 1, 3]
     assert int(num_kept) == 3
+
+
+def test_nms_hierarchical_small_branch_equals_single_stage():
+    """stage1 < pre_maxsize with few live scores: the cheap branch must be
+    bit-exact vs the single-stage run at full pre_maxsize (ops/nms.py module
+    docstring — the reference NMS_PRE_MAXSIZE=4096 contract)."""
+    rng = np.random.default_rng(7)
+    n = 200
+    boxes = np.zeros((n, 7), dtype=np.float32)
+    boxes[:, 0:2] = rng.uniform(0, 30, size=(n, 2))
+    boxes[:, 3:5] = rng.uniform(1.0, 4.5, size=(n, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, size=n)
+    scores = np.full(n, -np.inf, np.float32)
+    live = rng.choice(n, 20, replace=False)
+    scores[live] = rng.uniform(0.2, 1.0, 20)
+
+    full = nms.nms_bev_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.1,
+                             pre_maxsize=128, post_maxsize=50, stage1=128)
+    hier = nms.nms_bev_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.1,
+                             pre_maxsize=128, post_maxsize=50, stage1=32)
+    for a, b in zip(full, hier):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nms_hierarchical_fallback_branch():
+    """More live scores than stage1: the cond must take the full branch and
+    match the single-stage result."""
+    rng = np.random.default_rng(8)
+    n = 200
+    boxes = np.zeros((n, 7), dtype=np.float32)
+    boxes[:, 0:2] = rng.uniform(0, 60, size=(n, 2))
+    boxes[:, 3:5] = rng.uniform(1.0, 4.5, size=(n, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, size=n)
+    scores = rng.uniform(0, 1, size=n).astype(np.float32)  # all live
+
+    full = nms.nms_bev_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.1,
+                             pre_maxsize=128, post_maxsize=50, stage1=128)
+    hier = nms.nms_bev_fixed(jnp.asarray(boxes), jnp.asarray(scores), 0.1,
+                             pre_maxsize=128, post_maxsize=50, stage1=32)
+    for a, b in zip(full, hier):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
