@@ -193,3 +193,73 @@ def three_nn_bucket(unknown, known, known_mask, interpret=False):
     idx = jnp.clip(idx, 0, s - 1).astype(jnp.int32)
     dist = jnp.sqrt(jnp.clip(d2, 0.0, None))
     return jax.lax.stop_gradient(dist), idx
+
+
+# ---------------------------------------------------------------------------
+# chunk-parallel FPS: the whole sequential loop in VMEM, chunks on lanes
+# ---------------------------------------------------------------------------
+
+
+def _fps_kernel(pts_ref, out_ref, mind_ref, *, n_rows, nsamp):
+    """Exact FPS inside each lane's chunk; all (batch x chunk) lanes run the
+    npoint/G-iteration loop simultaneously. The XLA twin (_fps_one) runs the
+    same loop as HLO — one argmax round-trip through HBM per iteration,
+    latency-bound at ~25 us/iter; here every operand stays in VMEM.
+
+    pts rows: 0-2 = x/y/z (Morton-sorted, chunked), 3 = validity.
+    """
+    px = pts_ref[0]                                        # (L, LA)
+    py, pz, val = pts_ref[1], pts_ref[2], pts_ref[3]
+    mind_ref[:] = jnp.where(val > 0.5, _BIG, -_BIG)
+    rows = jax.lax.broadcasted_iota(jnp.int32, px.shape, 0)
+    first = jnp.min(jnp.where(val > 0.5, rows, n_rows - 1), axis=0,
+                    keepdims=True)                         # (1, LA)
+
+    def body(i, last):
+        onehot = rows == last
+        lx = jnp.max(jnp.where(onehot, px, -_BIG), axis=0, keepdims=True)
+        ly = jnp.max(jnp.where(onehot, py, -_BIG), axis=0, keepdims=True)
+        lz = jnp.max(jnp.where(onehot, pz, -_BIG), axis=0, keepdims=True)
+        d = (px - lx) ** 2 + (py - ly) ** 2 + (pz - lz) ** 2
+        mind = jnp.minimum(mind_ref[:], d)                 # invalid stay -BIG
+        mind_ref[:] = mind
+        mx = jnp.max(mind, axis=0, keepdims=True)
+        nxt = jnp.min(jnp.where(mind == mx, rows, n_rows - 1), axis=0,
+                      keepdims=True)                       # first max row
+        out_ref[pl.ds(i, 1), :] = last
+        return nxt
+
+    jax.lax.fori_loop(0, nsamp, body, first)
+
+
+def fps_chunks_pallas(pts_chunked, valid_chunked, nsamp_per_chunk,
+                      interpret=False):
+    """Per-chunk exact FPS over (R, L, 3) chunked point sets.
+
+    Args:
+        pts_chunked: (R, L, 3) — R = batch*chunks independent point sets of
+            L points each (Morton-sort + reshape done by the caller).
+        valid_chunked: (R, L) bool.
+        nsamp_per_chunk: static samples per chunk.
+    Returns:
+        (R, nsamp_per_chunk) int32 LOCAL row indices into each chunk.
+    """
+    r, l, _ = pts_chunked.shape
+    la = _round_up(r, 128)
+    pts = jnp.zeros((4, l, la), jnp.float32)
+    pts = pts.at[:3, :, :r].set(
+        pts_chunked.astype(jnp.float32).transpose(2, 1, 0))
+    pts = pts.at[3, :, :r].set(valid_chunked.astype(jnp.float32).T)
+
+    out = pl.pallas_call(
+        functools.partial(_fps_kernel, n_rows=l, nsamp=nsamp_per_chunk),
+        grid=(la // 128,),
+        in_specs=[pl.BlockSpec((4, l, 128), lambda g: (0, 0, g),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((nsamp_per_chunk, 128), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nsamp_per_chunk, la), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((l, 128), jnp.float32)],
+        interpret=bool(interpret),
+    )(pts)
+    return out[:, :r].T                                   # (R, S)

@@ -89,7 +89,7 @@ def furthest_point_sample(xyz, mask, npoint, num_chunks=1):
     if g <= 1:
         return jax.vmap(lambda p, m: _fps_one(p, m, npoint))(xyz, mask)
 
-    def sample_one(pts, m):
+    def order_one(pts, m):
         # quantize BEV coords to 10 bits over the valid extent
         lo = jnp.min(jnp.where(m[:, None], pts, INF), axis=0)[:2]
         hi = jnp.max(jnp.where(m[:, None], pts, -INF), axis=0)[:2]
@@ -97,11 +97,9 @@ def furthest_point_sample(xyz, mask, npoint, num_chunks=1):
         q = jnp.clip(((pts[:, :2] - lo) / span * 1023.0), 0, 1023).astype(jnp.int32)
         key = _morton2(q[:, 0], q[:, 1])
         key = jnp.where(m, key, jnp.int32(2 ** 30))   # invalid last
-        order = jnp.argsort(key)
+        return jnp.argsort(key)
 
-        pts_c = pts[order].reshape(g, n // g, 3)
-        m_c = m[order].reshape(g, n // g)
-        local = jax.vmap(lambda p, mm: _fps_one(p, mm, npoint // g))(pts_c, m_c)
+    def finish_one(pts_unused, m, order, local):
         base = jnp.arange(g, dtype=jnp.int32)[:, None] * (n // g)
         idx = order.astype(jnp.int32)[(local + base).reshape(-1)]
         # invalid points sort last and can fill whole tail chunks; replace
@@ -110,7 +108,23 @@ def furthest_point_sample(xyz, mask, npoint, num_chunks=1):
         fallback = idx[jnp.argmax(ok)]
         return jnp.where(ok, idx, fallback)
 
-    return jax.vmap(sample_one)(xyz, mask)
+    b = xyz.shape[0]
+    order = jax.vmap(order_one)(xyz, mask)                       # (B, N)
+    pts_s = jnp.take_along_axis(xyz, order[..., None], axis=1)
+    m_s = jnp.take_along_axis(mask, order, axis=1)
+    pts_c = pts_s.reshape(b * g, n // g, 3)
+    m_c = m_s.reshape(b * g, n // g)
+    if jax.default_backend() == 'tpu':
+        # all (batch x chunk) FPS loops run simultaneously in one VMEM-
+        # resident Pallas program (chunks on lanes); the XLA twin below
+        # round-trips HBM per sequential iteration (ops/pn2_select.py)
+        from .pn2_select import fps_chunks_pallas
+        local = fps_chunks_pallas(pts_c, m_c, npoint // g)
+    else:
+        local = jax.vmap(lambda p, mm: _fps_one(p, mm, npoint // g))(
+            pts_c, m_c)
+    local = local.reshape(b, g, npoint // g)
+    return jax.vmap(finish_one)(xyz, mask, order, local)
 
 
 @partial(jax.jit, static_argnames=('radius', 'nsample'))

@@ -164,3 +164,25 @@ def test_ball_query_padding_alignment():
                                  interpret=True)
     assert (np.asarray(idx) < n).all()
     assert (np.asarray(cnt) > 0).all()
+
+
+def test_fps_chunks_pallas_matches_xla_loop():
+    """fps_chunks_pallas (interpret) == the vmapped _fps_one XLA loop on
+    every chunk that contains at least one valid point (all-invalid chunks'
+    outputs are replaced by the caller's fallback and may differ)."""
+    import jax.numpy as jnp
+    from hvpr_tpu.ops.pn2_select import fps_chunks_pallas
+    from hvpr_tpu.ops.pointnet2 import _fps_one
+
+    rng = np.random.default_rng(11)
+    r, l, s = 6, 64, 16
+    pts = rng.uniform(-10, 10, (r, l, 3)).astype(np.float32)
+    valid = np.ones((r, l), bool)
+    valid[2, 40:] = False            # partial chunk
+    valid[5, :] = False              # fully invalid chunk
+
+    got = np.asarray(fps_chunks_pallas(jnp.asarray(pts), jnp.asarray(valid),
+                                       s, interpret=True))
+    want = np.asarray(jax.vmap(lambda p, m: _fps_one(p, m, s))(
+        jnp.asarray(pts), jnp.asarray(valid)))
+    np.testing.assert_array_equal(got[:5], want[:5])
