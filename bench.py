@@ -111,6 +111,13 @@ def realistic_scans(rng, batch, n, pcr):
 
 
 def main():
+    # persistent compile cache (shared with the test suite): the bench
+    # program is identical run-to-run, so repeat runs skip the multi-minute
+    # flagship-pipeline compile
+    jax.config.update('jax_compilation_cache_dir', os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'tests/.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
     cfg = ConfigDict()
     cfg_from_yaml_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     'tools/cfgs/kitti_models/hvpr.yaml'), cfg)
@@ -147,9 +154,32 @@ def main():
                               len(cfg['CLASS_NAMES']))
         return res['pred_scores']
 
-    # warm up (compile) and fully sync
-    out = pipeline(net.variables, scans, pmask)
+    # ONE compile, AOT: the compiled object serves the timing loops AND the
+    # roofline cost analysis (a second .lower().compile() would recompile the
+    # whole pipeline — minutes through the axon tunnel)
+    compiled = pipeline.lower(net.variables, scans, pmask).compile()
+
+    def pipeline_run(variables, points, mask):
+        return compiled(variables, points, mask)
+
+    # warm up and fully sync
+    out = pipeline_run(net.variables, scans, pmask)
     _ = jax.device_get(out.ravel()[0])
+
+    # roofline accounting (VERDICT r4 #2): XLA HLO cost analysis of the full
+    # pipeline + the analytic top-up for the Pallas fused memory lookup
+    # (custom calls report 0 flops there) — hvpr_tpu/utils/flops.py.
+    from hvpr_tpu.utils import flops as flops_util
+    xla_fl, xla_by = flops_util.xla_cost(compiled)
+    vmask_h = np.asarray(jax.device_get(vox['voxel_mask']))
+    need = int(max(1, (np.where(vmask_h)[1].max() + 1) if vmask_h.any() else 1))
+    quarters = [max(1, (MAX_VOXELS * q) // 4) for q in (1, 2, 3, 4)]
+    prefix = next(q for q in quarters if q >= need)
+    mem_m = int(cfg['MODEL']['MAP_TO_BEV']['NUM_M'])
+    mem_c = int(cfg['MODEL']['MAP_TO_BEV']['NUM_PT_FEATURES'])
+    total_flops = xla_fl + flops_util.memory_lookup_fused_flops(
+        BATCH * prefix, mem_m, mem_c)
+    total_bytes = xla_by + 4.0 * (BATCH * prefix * mem_c * 2 + mem_m * mem_c)
 
     # median of N timed windows: single-window numbers spread ~6% run-to-run
     # on a shared host (round-2 saw 300-318 for identical code), so the
@@ -162,7 +192,7 @@ def main():
         for _ in range(n_rep):
             t0 = time.time()
             for _ in range(n_iter):
-                out = pipeline(net.variables, points, pmask)
+                out = pipeline_run(net.variables, points, pmask)
             _ = jax.device_get(out.ravel()[0])
             total = time.time() - t0
             t0 = time.time()
@@ -177,6 +207,8 @@ def main():
     uniform_rates = measure(uniform_scans)
 
     scans_per_sec = float(np.median(rates))
+    batch_seconds = BATCH / scans_per_sec
+    util = flops_util.utilization(total_flops, total_bytes, batch_seconds)
     print(json.dumps({
         'metric': 'hvpr_inference_scans_per_sec_per_chip',
         'value': round(scans_per_sec, 2),
@@ -187,6 +219,12 @@ def main():
         'windows': n_rep,
         'scan_distribution': 'kitti_like',
         'uniform_scans_per_sec': round(float(np.median(uniform_rates)), 2),
+        'gflop_per_batch': round(total_flops / 1e9, 1),
+        'mfu': util['mfu'],
+        'hbm_frac': util['hbm_frac'],
+        'bound': util['bound'],
+        'mfu_note': 'flops = XLA cost analysis + Pallas top-ups vs bf16 peak'
+                    ' (hvpr_tpu/utils/flops.py); per-stage: STAGE_PROFILE.json',
     }))
 
 

@@ -149,7 +149,11 @@ def post_processing(batch_dict, post_cfg, num_class):
     stage1 = min(int(nms_cfg.get('NMS_STAGE1_MAXSIZE', 1024)), pre_max)
     if score_thresh is not None and stage1 < pre_max:
         if multi_class:
-            # each per-class NMS must have its live set inside stage1
+            # each per-class NMS must have its live set inside stage1; the
+            # max over classes is CONSERVATIVE — one busy class forces the
+            # full pre_maxsize branch for all classes (correct, just slower;
+            # pinned by tests/test_multiclass.py::
+            # test_multiclass_hierarchical_nms_busy_class_fallback)
             n_live = jnp.max(jnp.sum(cls_preds >= score_thresh, axis=1))
         else:
             # the agnostic NMS scores anchors by their max-class score

@@ -20,7 +20,8 @@ The (K, K) rotated-IoU matrix dominates (36 ms per 8-scan batch at K=4096,
 2.3 ms at K=1024), so ``nms_bev_fixed`` is HIERARCHICAL: it first runs the
 full algorithm on the top ``stage1`` candidates, which is *exactly*
 equivalent to the K=pre_maxsize run whenever at most ``stage1`` scores are
-finite (every live candidate is then inside the stage-1 set, and -inf rows
+finite (every live candidate is then inside the stage-1 set — the
+pre-selection is exact ``lax.top_k``, see ``_nms_topk`` — and -inf rows
 neither suppress nor survive); a ``lax.cond`` falls back to the full
 pre_maxsize run otherwise. A trained HVPR emits far fewer than 1024
 candidates above SCORE_THRESH=0.1, so serving takes the cheap branch while
@@ -37,15 +38,18 @@ from .rotated_iou import boxes_iou_bev
 
 
 def _nms_topk(boxes, scores, k, thresh, post_maxsize):
-    """Greedy NMS over the top-k candidates (fixed-point iteration)."""
-    if boxes.shape[0] > k:
-        # approx_max_k with aggregate_to_topk performs a cheap partial
-        # reduction then an exact sort of the survivors (descending) — the
-        # full lax.top_k sort over all anchors dominates NMS cost otherwise
-        top_scores, order = jax.lax.approx_max_k(
-            scores, k, recall_target=0.99, aggregate_to_topk=True)
-    else:
-        top_scores, order = jax.lax.top_k(scores, k)
+    """Greedy NMS over the top-k candidates (fixed-point iteration).
+
+    Candidate pre-selection is EXACT ``lax.top_k``, matching the reference's
+    ``torch.topk`` (model_nms_utils.py:13-14). An earlier revision used
+    ``lax.approx_max_k(recall_target=0.99)``, which can silently drop a live
+    candidate when two finite scores share a reduction bin; measured on a
+    v5e chip the exact sort costs only ~0.02 ms/scan more at the flagship
+    36,704-anchor head (0.104 vs 0.083 ms), so exactness is free for all
+    practical purposes. Exactness at flagship anchor counts is pinned by
+    tests/test_nms_voxelizer.py::test_nms_preselect_exact_flagship.
+    """
+    top_scores, order = jax.lax.top_k(scores, k)
     boxes_k = boxes[order]
     valid = top_scores > -jnp.inf
 

@@ -78,7 +78,6 @@ def _pick_chunks(n, block_n):
     np_ = _round_up(n, _NUM_BUCKETS)
     if np_ <= block_n:
         return np_, 1
-    nc = _round_up((np_ + block_n - 1) // block_n * 128, 128)  # chunk count*128
     # choose the smallest chunk count whose equal 128-multiple chunks cover np_
     n_chunks = (np_ + block_n - 1) // block_n
     chunk = _round_up((np_ + n_chunks - 1) // n_chunks, 128)
@@ -127,6 +126,13 @@ def bucket_threshold(pillars, table, neg, k, block_v=256, block_n=2048,
         thresh: (B, V) f32 — the k-th largest per-bucket score maximum;
         ``score >= thresh`` (on valid rows) is a superset of the exact top-k.
     """
+    # the bucket-max bound (k-th largest of 128 per-bucket maxima <= true
+    # k-th largest score) only holds for k <= bucket count; beyond it the
+    # threshold loop freezes at the minimum bucket max and can MISS top-k rows
+    if k > _NUM_BUCKETS:
+        raise ValueError(
+            f'bucket_threshold requires k <= {_NUM_BUCKETS} (got k={k}): the '
+            f'per-bucket-max superset guarantee breaks past the bucket count')
     # selection machinery, like the reference's top-k indices: nothing
     # differentiates through the threshold (the attend op's weights are
     # stop-gradient anyway), and the Pallas kernels define no VJP

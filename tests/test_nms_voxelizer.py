@@ -242,3 +242,92 @@ def test_nms_hierarchical_fallback_branch():
                              pre_maxsize=128, post_maxsize=50, stage1=32)
     for a, b in zip(full, hier):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _flagship_anchor_scene(rng, n_anchors, n_live, cluster=True):
+    """Flagship-scale candidate set: boxes everywhere, n_live finite scores.
+
+    ``cluster=True`` packs the live scores into a contiguous index block —
+    the adversarial layout for any binned/approximate pre-selection (two
+    live candidates in one reduction bin drop the lower one).
+    """
+    boxes = np.zeros((n_anchors, 7), dtype=np.float32)
+    boxes[:, 0] = rng.uniform(0, 47, size=n_anchors)
+    boxes[:, 1] = rng.uniform(-19, 19, size=n_anchors)
+    boxes[:, 3:5] = rng.uniform(1.4, 4.2, size=(n_anchors, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, size=n_anchors)
+    scores = np.full(n_anchors, -np.inf, np.float32)
+    if cluster:
+        start = rng.integers(0, n_anchors - n_live)
+        live = np.arange(start, start + n_live)
+    else:
+        live = rng.choice(n_anchors, n_live, replace=False)
+    scores[live] = rng.uniform(0.1, 1.0, n_live).astype(np.float32)
+    return boxes, scores, live
+
+
+def _kept_set(result, boxes):
+    keep_idx, keep_mask, _ = result
+    idx = np.asarray(keep_idx)[np.asarray(keep_mask)]
+    # compare by box content (pre-selection may reorder equal-score ties)
+    return {tuple(np.round(boxes[i], 5)) for i in idx}
+
+
+def test_nms_preselect_exact_flagship():
+    """VERDICT r4 #1: at flagship anchor counts (36,704/scan, hvpr.yaml head)
+    the stage-1 kept set must equal exact-selection NMS — the pre-selection
+    is exact lax.top_k (ops/nms.py _nms_topk), so no live candidate can be
+    silently dropped regardless of how live scores cluster in index space.
+
+    Oracle: NMS over ONLY the live candidates (compacted, no pre-selection
+    at all) — exact by construction when n_live <= the oracle width.
+    """
+    rng = np.random.default_rng(123)
+    n_anchors = 36704
+    for n_live, cluster in ((512, True), (1024, True), (937, False)):
+        boxes, scores, live = _flagship_anchor_scene(
+            rng, n_anchors, n_live, cluster)
+
+        got = nms.nms_bev_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.1,
+            pre_maxsize=4096, post_maxsize=500, stage1=1024)
+
+        # oracle: run single-stage NMS over the compacted live set only
+        lb = np.zeros((1024, 7), np.float32)
+        ls = np.full(1024, -np.inf, np.float32)
+        lb[:n_live] = boxes[live]
+        ls[:n_live] = scores[live]
+        want = nms.nms_bev_fixed(
+            jnp.asarray(lb), jnp.asarray(ls), 0.1,
+            pre_maxsize=1024, post_maxsize=500, stage1=1024)
+
+        got_set = _kept_set(got, boxes)
+        want_set = _kept_set(want, lb)
+        assert got_set == want_set, (
+            f'n_live={n_live} cluster={cluster}: kept sets differ '
+            f'({len(got_set)} vs {len(want_set)})')
+
+
+def test_nms_preselect_exact_flagship_fallback():
+    """Fallback branch (n_live > stage1) at flagship scale: the kept set must
+    equal NMS over the EXACT top-pre_maxsize candidates (np.argsort oracle),
+    matching the reference's torch.topk selection
+    (model_nms_utils.py:13-14)."""
+    rng = np.random.default_rng(321)
+    n_anchors = 36704
+    n_live = 2000
+    boxes, scores, _ = _flagship_anchor_scene(rng, n_anchors, n_live)
+
+    got = nms.nms_bev_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.1,
+        pre_maxsize=4096, post_maxsize=500, stage1=1024)
+
+    top = np.argsort(-scores, kind='stable')[:4096]
+    tb = boxes[top]
+    ts = scores[top]
+    want = nms.nms_bev_fixed(
+        jnp.asarray(tb), jnp.asarray(ts), 0.1,
+        pre_maxsize=4096, post_maxsize=500, stage1=4096)
+
+    assert _kept_set(got, boxes) == _kept_set(want, tb)

@@ -5,8 +5,14 @@ Times nested prefixes of the pipeline (voxelize -> VFE -> scatter/memory ->
 backbone -> head -> post/NMS) with the axon-tunnel-safe protocol from
 .claude/skills/verify/SKILL.md: chain N calls, device_get one scalar,
 subtract the measured sync latency.
+
+Each line also carries ROOFLINE accounting (VERDICT r4 #2): incremental
+FLOPs (XLA HLO cost analysis + analytic Pallas top-ups, hvpr_tpu/utils/
+flops.py), achieved MFU vs bf16 chip peak, HBM-bandwidth fraction, and the
+dominant bound per stage. Writes STAGE_PROFILE.json.
 """
 
+import json
 import os
 import sys
 import time
@@ -21,6 +27,7 @@ from hvpr_tpu.config import cfg_from_yaml_file, ConfigDict
 from hvpr_tpu.models import build_network
 from hvpr_tpu.models.detectors.detector3d_template import post_processing
 from hvpr_tpu.ops.voxelizer import voxelize_batch_flat
+from hvpr_tpu.utils import flops as flops_util
 
 BATCH = int(os.environ.get('BENCH_BATCH', '16'))
 N_POINTS = 16384
@@ -92,9 +99,30 @@ def main():
               ('+dense_head', upto('dense_head')),
               ('full+post', full)]
 
+    # analytic Pallas top-ups (XLA cost analysis reports custom calls as 0
+    # flops): the eval path's only FLOP-carrying Pallas kernel is the fused
+    # memory lookup inside map_to_bev; its row count depends on the
+    # occupancy-adaptive quarter-prefix (memory_module.eval_forward).
+    vox_host = jax.device_get(vox(scans, pmask))
+    vmask_h = np.asarray(vox_host['voxel_mask'])
+    need = int(max(1, (np.where(vmask_h)[1].max() + 1) if vmask_h.any() else 1))
+    quarters = [max(1, (MAX_VOXELS * q) // 4) for q in (1, 2, 3, 4)]
+    prefix = next(q for q in quarters if q >= need)
+    mem_m = int(cfg['MODEL']['MAP_TO_BEV']['NUM_M'])
+    mem_c = int(cfg['MODEL']['MAP_TO_BEV']['NUM_PT_FEATURES'])
+    lookup_flops = flops_util.memory_lookup_fused_flops(
+        BATCH * prefix, mem_m, mem_c)
+    lookup_bytes = 4.0 * (BATCH * prefix * mem_c * 2 + mem_m * mem_c)
+    pallas_topup = {'+map_to_bev': (lookup_flops, lookup_bytes)}
+
     n_iter = int(os.environ.get('BENCH_ITERS', '20'))
+    stage_order = [s[0] for s in stages]
+    rows = []
+    prev_ms = prev_fl = prev_by = 0.0
     for name, fn in stages:
         jfn = jax.jit(fn)
+        compiled = jfn.lower(scans, pmask).compile()
+        xla_fl, xla_by = flops_util.xla_cost(compiled)
         out = jfn(scans, pmask)
         _ = jax.device_get(out.ravel()[0])
         t0 = time.time()
@@ -106,8 +134,45 @@ def main():
         _ = jax.device_get(out.ravel()[0])
         sync = time.time() - t0
         ms = (total - sync) / n_iter * 1e3
-        print(f'{name:<14} {ms:8.2f} ms/batch   '
-              f'{BATCH / ((total - sync) / n_iter):7.1f} scans/s', flush=True)
+
+        # every pipeline prefix from a top-up's stage onward includes it
+        pos = stage_order.index(name)
+        topups = [v for s, v in pallas_topup.items()
+                  if stage_order.index(s) <= pos]
+        cum_fl = xla_fl + sum(f for f, _ in topups)
+        cum_by = xla_by + sum(bb for _, bb in topups)
+        inc_ms = ms - prev_ms
+        inc_fl = cum_fl - prev_fl
+        inc_by = cum_by - prev_by
+        util = flops_util.utilization(inc_fl, inc_by, inc_ms / 1e3)
+        cum_util = flops_util.utilization(cum_fl, cum_by, ms / 1e3)
+        print(f'{name:<14} {ms:8.2f} ms/batch  {BATCH / (ms / 1e3):7.1f} scans/s'
+              f'  | stage {inc_ms:7.2f} ms {inc_fl / 1e9:8.1f} GF'
+              f'  mfu {util["mfu"]:6.1%}  hbm {util["hbm_frac"]:6.1%}'
+              f'  [{util["bound"]}]', flush=True)
+        rows.append({'stage': name, 'cum_ms': round(ms, 3),
+                     'stage_ms': round(inc_ms, 3),
+                     'stage_gflop': round(inc_fl / 1e9, 2),
+                     'stage_gb': round(inc_by / 1e9, 3), **util,
+                     'cum_mfu': cum_util['mfu']})
+        prev_ms, prev_fl, prev_by = ms, cum_fl, cum_by
+
+    peak_f, peak_b = flops_util.device_peaks()
+    summary = {'batch': BATCH, 'stages': rows,
+               'pipeline_ms': rows[-1]['cum_ms'],
+               'scans_per_sec': round(BATCH / (rows[-1]['cum_ms'] / 1e3), 1),
+               'pipeline_mfu': rows[-1]['cum_mfu'],
+               'peak_tflops_bf16': peak_f / 1e12,
+               'peak_hbm_gbps': peak_b / 1e9,
+               'note': ('flops = XLA HLO cost analysis + analytic Pallas '
+                        'top-ups (hvpr_tpu/utils/flops.py); mfu vs bf16 peak; '
+                        'hbm_frac approximates fusion-internal traffic as '
+                        'HBM traffic, so it overestimates')}
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'STAGE_PROFILE.json')
+    with open(out_path, 'w') as f:
+        json.dump(summary, f, indent=1)
+    print(f'wrote {out_path}', flush=True)
 
 
 if __name__ == '__main__':
