@@ -57,6 +57,7 @@ class SAModuleMSG(nn.Module):
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
     fps_chunks: int = 1
+    ball_query_semantics: str = 'auto'
 
     @nn.compact
     def __call__(self, xyz, features, mask, train: bool):
@@ -71,14 +72,22 @@ class SAModuleMSG(nn.Module):
         new_xyz = pn2.group_points(xyz, idx)                          # (B, S, 3)
         new_mask = jnp.take_along_axis(mask, idx, axis=1)             # (B, S)
 
+        # ONE gather per scale over a combined [xyz | features] source: the
+        # neighbor gather is the HBM-bound cost of the SA level (random row
+        # access; measured ~3 ms per 4096x32 gather at flagship shapes), and
+        # wider rows amortize the per-row transaction — two narrow gathers
+        # cost ~2x one wide gather for the same payload
+        src = xyz if features is None else \
+            jnp.concatenate([xyz, features], axis=-1)
         outs = []
         for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
-            nbr_idx, cnt = pn2.ball_query(radius, nsample, xyz, new_xyz, mask)
-            grouped_xyz = pn2.group_points(xyz, nbr_idx.reshape(*nbr_idx.shape[:1], -1))
-            grouped_xyz = grouped_xyz.reshape(*nbr_idx.shape, 3) - new_xyz[:, :, None, :]
+            nbr_idx, cnt = pn2.ball_query(radius, nsample, xyz, new_xyz, mask,
+                                          semantics=self.ball_query_semantics)
+            grouped = pn2.group_points(src, nbr_idx.reshape(nbr_idx.shape[0], -1))
+            grouped = grouped.reshape(*nbr_idx.shape, src.shape[-1])
+            grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
             if features is not None:
-                grouped_feat = pn2.group_points(features, nbr_idx.reshape(*nbr_idx.shape[:1], -1))
-                grouped_feat = grouped_feat.reshape(*nbr_idx.shape, features.shape[-1])
+                grouped_feat = grouped[..., 3:]
                 if self.use_xyz:
                     grouped_feat = jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
             else:
@@ -143,6 +152,9 @@ class PointNet2MSG(nn.Module):
                 # FPS_CHUNKS > 1 opts into the Morton-chunked approximation
                 # (the shipped flagship configs set 16 for train throughput)
                 fps_chunks=int(sa_cfg.get('FPS_CHUNKS', 1)),
+                # 'auto' | 'first' | 'bucket' — see ops.pointnet2.ball_query;
+                # the AP-level A/B pins bucket-vs-first at <0.3 AP
+                ball_query_semantics=str(sa_cfg.get('BALL_QUERY', 'auto')),
             )(l_xyz[k], l_feats[k], l_mask[k], train)
             l_xyz.append(nx)
             l_feats.append(nf)
@@ -188,6 +200,7 @@ class PointNet2MSG_NOFP(nn.Module):
                 mlps=[list(m) for m in sa_cfg['MLPS'][k]],
                 use_xyz=sa_cfg.get('USE_XYZ', True),
                 fps_chunks=int(sa_cfg.get('FPS_CHUNKS', 16)),
+                ball_query_semantics=str(sa_cfg.get('BALL_QUERY', 'auto')),
             )(xyz, feats, mask, train)
 
         batch_dict['point_features'] = feats

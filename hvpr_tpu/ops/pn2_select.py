@@ -55,52 +55,58 @@ def _round_up(x, m):
 
 
 def _sweep_kernel(cent_ref, pts_ref, neg_ref, key_ref, idx_ref, *,
-                  mode, r2, chunk):
-    """One (center block, point chunk) step of the bucket-min sweep.
+                  mode, r2, np_, sub):
+    """One center block's bucket-min sweep over the WHOLE point axis.
 
-    key/idx blocks are revisited across the (innermost) point sweep and hold
-    the per-center running bucket minima (key) and their point indices (idx,
-    stored as f32 — indices < 2^24 are exact).
+    The point axis is streamed by an in-kernel ``fori_loop`` over ``sub``-wide
+    slices of the resident (8, np_) point block rather than by grid steps:
+    at flagship shapes the grid-step form was overhead-bound (512 cells x
+    ~6 us = 3.0 ms per query) and could not grow its blocks without keeping
+    two (block_q, block_n) f32 temporaries alive -> VMEM stack OOM. Here the
+    only large VMEM residents are the point block (512 KB at N=16384) and
+    the per-iteration (bq, sub) temporaries; the running minima live in the
+    (bq, 128) carry. idx is stored as f32 — indices < 2^24 are exact.
     """
-    ncid = pl.program_id(2)
-
-    @pl.when(ncid == 0)
-    def _():
-        key_ref[0] = jnp.full_like(key_ref[0], _BIG)
-        idx_ref[0] = jnp.zeros_like(idx_ref[0])
-
     cent = cent_ref[0]                                     # (bq, 128)
     cx, cy, cz = cent[:, 0:1], cent[:, 1:2], cent[:, 2:3]  # (bq, 1)
-    pts = pts_ref[0]                                       # (8, chunk)
-    px, py, pz = pts[0:1, :], pts[1:2, :], pts[2:3, :]     # (1, chunk)
-    d2 = (cx - px) ** 2 + (cy - py) ** 2 + (cz - pz) ** 2  # (bq, chunk) f32
-    d2 = d2 - neg_ref[0]                # invalid lanes: neg=-1e30 -> d2 huge
+    bq = cent.shape[0]
 
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) \
-        .astype(jnp.float32) + jnp.float32(ncid * chunk)   # (1, chunk)
-    if mode == 'ball':
-        key = jnp.where(d2 < r2, jnp.broadcast_to(gidx, d2.shape), _BIG)
-        payload = key                   # the key IS the index
-    else:                               # 'nn': key = d2, payload = index
-        key = d2
-        payload = jnp.broadcast_to(gidx, d2.shape)
+    def body(i, carry):
+        key_acc, idx_acc = carry                           # (bq, 128) each
+        px = pts_ref[0, 0:1, pl.ds(i * sub, sub)]          # (1, sub)
+        py = pts_ref[0, 1:2, pl.ds(i * sub, sub)]
+        pz = pts_ref[0, 2:3, pl.ds(i * sub, sub)]
+        d2 = (cx - px) ** 2 + (cy - py) ** 2 + (cz - pz) ** 2  # (bq, sub)
+        d2 = d2 - neg_ref[0, 0:1, pl.ds(i * sub, sub)]     # padded -> huge
 
-    bq = key.shape[0]
-    kr = key.reshape(bq, chunk // _NUM_BUCKETS, _NUM_BUCKETS)
-    kmin = kr.min(axis=1)                                  # (bq, 128)
-    if mode == 'ball':
-        pmin = kmin
-    else:
-        pr = payload.reshape(bq, chunk // _NUM_BUCKETS, _NUM_BUCKETS)
-        pmin = jnp.where(kr <= kmin[:, None, :], pr, _BIG).min(axis=1)
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1) \
+            .astype(jnp.float32) + jnp.float32(i) * jnp.float32(sub)
+        if mode == 'ball':
+            key = jnp.where(d2 < r2, jnp.broadcast_to(gidx, d2.shape), _BIG)
+        else:                           # 'nn': key = d2, payload = index
+            key = d2
+        kr = key.reshape(bq, sub // _NUM_BUCKETS, _NUM_BUCKETS)
+        kmin = kr.min(axis=1)                              # (bq, 128)
+        if mode == 'ball':
+            pmin = kmin
+        else:
+            pr = jnp.broadcast_to(gidx, key.shape).reshape(
+                bq, sub // _NUM_BUCKETS, _NUM_BUCKETS)
+            pmin = jnp.where(kr <= kmin[:, None, :], pr, _BIG).min(axis=1)
 
-    upd = kmin < key_ref[0]
-    idx_ref[0] = jnp.where(upd, pmin, idx_ref[0])
-    key_ref[0] = jnp.where(upd, kmin, key_ref[0])
+        upd = kmin < key_acc
+        return (jnp.where(upd, kmin, key_acc),
+                jnp.where(upd, pmin, idx_acc))
+
+    init = (jnp.full((bq, _NUM_BUCKETS), _BIG, jnp.float32),
+            jnp.zeros((bq, _NUM_BUCKETS), jnp.float32))
+    key, idx = jax.lax.fori_loop(0, np_ // sub, body, init)
+    key_ref[0] = key
+    idx_ref[0] = idx
 
 
-def _bucket_sweep(centers, points, neg, mode, r2=0.0, block_q=256,
-                  block_n=2048, interpret=False):
+def _bucket_sweep(centers, points, neg, mode, r2=0.0, block_q=512,
+                  block_n=1024, interpret=False):
     """Per-center per-bucket running-min sweep.
 
     Args:
@@ -108,6 +114,8 @@ def _bucket_sweep(centers, points, neg, mode, r2=0.0, block_q=256,
         points: (B, N, 3) f32 support points.
         neg: (B, N) f32 additive validity mask — 0 valid, -1e30 padded.
         mode: 'ball' (key = in-radius point index) or 'nn' (key = d2).
+        block_q: centers per grid cell.
+        block_n: slice width of the in-kernel point stream (multiple of 128).
     Returns:
         key (B, Q, 128) f32 bucket minima (= index for 'ball', d2 for 'nn');
         idx (B, Q, 128) f32 point index achieving each bucket minimum.
@@ -115,10 +123,8 @@ def _bucket_sweep(centers, points, neg, mode, r2=0.0, block_q=256,
     b, q, _ = centers.shape
     n = points.shape[1]
     qp = _round_up(q, block_q)
-    np_ = _round_up(n, _NUM_BUCKETS)
-    chunk = min(block_n, np_)
-    np_ = _round_up(np_, chunk)
-    n_chunks = np_ // chunk
+    sub = min(block_n, _round_up(n, _NUM_BUCKETS))
+    np_ = _round_up(_round_up(n, _NUM_BUCKETS), sub)
 
     cent_p = jnp.zeros((b, qp, 128), jnp.float32).at[:, :q, :3].set(
         centers.astype(jnp.float32))
@@ -128,20 +134,20 @@ def _bucket_sweep(centers, points, neg, mode, r2=0.0, block_q=256,
 
     key, idx = pl.pallas_call(
         functools.partial(_sweep_kernel, mode=mode, r2=float(r2),
-                          chunk=chunk),
-        grid=(b, qp // block_q, n_chunks),
+                          np_=np_, sub=sub),
+        grid=(b, qp // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, 128), lambda i, j, m: (i, j, 0),
+            pl.BlockSpec((1, block_q, 128), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, chunk), lambda i, j, m: (i, 0, m),
+            pl.BlockSpec((1, 8, np_), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), lambda i, j, m: (i, 0, m),
+            pl.BlockSpec((1, 1, np_), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, 128), lambda i, j, m: (i, j, 0),
+            pl.BlockSpec((1, block_q, 128), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 128), lambda i, j, m: (i, j, 0),
+            pl.BlockSpec((1, block_q, 128), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -149,7 +155,7 @@ def _bucket_sweep(centers, points, neg, mode, r2=0.0, block_q=256,
             jax.ShapeDtypeStruct((b, qp, 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel')),
         interpret=bool(interpret),
     )(cent_p, pts_p, neg_p)
     return key[:, :q], idx[:, :q]
@@ -172,6 +178,48 @@ def ball_query_bucket(radius, nsample, xyz, new_xyz, mask, interpret=False):
                            interpret=interpret)
     neg_k, _ = jax.lax.top_k(-key, nsample)          # nsample smallest keys
     k_sel = -neg_k                                   # ascending index order
+    found = k_sel < _BIG * 0.5
+    idx = jnp.where(found, k_sel, 0.0).astype(jnp.int32)
+    first = idx[..., 0:1]
+    idx = jnp.where(found, idx, first)
+    cnt = found.sum(axis=-1).astype(jnp.int32)
+    return idx, cnt
+
+
+def ball_query_bucket_xla(radius, nsample, xyz, new_xyz, mask):
+    """Pure-XLA twin of :func:`ball_query_bucket` — identical SEMANTICS.
+
+    Reproduces the Pallas kernel's selection exactly (first in-radius point
+    per lane bucket ``index mod 128``, then the ``nsample`` lowest-indexed
+    nonempty buckets), without Pallas: runs on any backend. Two uses:
+
+    * pins the kernel's semantics on CPU fixtures WITH mod-128 collisions
+      (tests/test_pn2_select.py — interpret-mode kernel == this twin);
+    * lets the AP-level A/B (tests/test_round4_ap_ab.py) train a net under
+      bucket semantics on the CPU test backend, bounding the documented
+      deviation from the reference CUDA first-by-index rule
+      (pcdet CUDA ball_query, SURVEY.md §2b N3) at the AP level.
+    """
+    r2 = jnp.float32(float(radius) * float(radius))
+    n = xyz.shape[1]
+    np_ = _round_up(n, _NUM_BUCKETS)
+
+    def one(pts, centers, m):
+        d2 = jnp.sum((centers[:, None, :].astype(jnp.float32)
+                      - pts[None, :, :].astype(jnp.float32)) ** 2, axis=-1)
+        d2 = jnp.where(m[None, :], d2, _BIG)                  # (S, N)
+        gidx = jnp.arange(n, dtype=jnp.float32)[None, :]
+        key = jnp.where(d2 < r2, jnp.broadcast_to(gidx, d2.shape), _BIG)
+        if np_ != n:
+            key = jnp.pad(key, ((0, 0), (0, np_ - n)),
+                          constant_values=_BIG)
+        kmin = key.reshape(-1, np_ // _NUM_BUCKETS, _NUM_BUCKETS).min(axis=1)
+        return kmin                                           # (S, 128)
+
+    key = jax.vmap(one)(jax.lax.stop_gradient(xyz),
+                        jax.lax.stop_gradient(new_xyz), mask)
+    neg_k, _ = jax.lax.top_k(-key, nsample)
+    k_sel = -neg_k
     found = k_sel < _BIG * 0.5
     idx = jnp.where(found, k_sel, 0.0).astype(jnp.int32)
     first = idx[..., 0:1]

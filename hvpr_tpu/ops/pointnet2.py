@@ -127,8 +127,8 @@ def furthest_point_sample(xyz, mask, npoint, num_chunks=1):
     return jax.vmap(finish_one)(xyz, mask, order, local)
 
 
-@partial(jax.jit, static_argnames=('radius', 'nsample'))
-def ball_query(radius, nsample, xyz, new_xyz, mask):
+@partial(jax.jit, static_argnames=('radius', 'nsample', 'semantics'))
+def ball_query(radius, nsample, xyz, new_xyz, mask, semantics='auto'):
     """For each center, the first ``nsample`` points within ``radius``.
 
     Args:
@@ -137,6 +137,11 @@ def ball_query(radius, nsample, xyz, new_xyz, mask):
         xyz: (B, N, 3) support points.
         new_xyz: (B, S, 3) query centers.
         mask: (B, N) support validity.
+        semantics: 'auto' (bucket kernel on TPU, first-by-index XLA
+            elsewhere — the shipped dispatch), 'first' (force the
+            reference CUDA first-by-index rule), or 'bucket' (force the
+            bucket-min selection — Pallas on TPU, the exact XLA twin
+            elsewhere; used by the AP-level A/B, tests/test_round4_ap_ab.py).
     Returns:
         idx: (B, S, nsample) int32 — first in-radius neighbor repeated into
             empty slots (CUDA-kernel semantics: slot 0's index fills the rest);
@@ -147,9 +152,14 @@ def ball_query(radius, nsample, xyz, new_xyz, mask):
     flagship shapes); the XLA path below is the CPU/test twin and the
     semantics oracle.
     """
-    if jax.default_backend() == 'tpu':
-        from .pn2_select import ball_query_bucket
-        return ball_query_bucket(radius, nsample, xyz, new_xyz, mask)
+    assert semantics in ('auto', 'first', 'bucket'), semantics
+    on_tpu = jax.default_backend() == 'tpu'
+    if semantics == 'bucket' or (semantics == 'auto' and on_tpu):
+        if on_tpu:
+            from .pn2_select import ball_query_bucket
+            return ball_query_bucket(radius, nsample, xyz, new_xyz, mask)
+        from .pn2_select import ball_query_bucket_xla
+        return ball_query_bucket_xla(radius, nsample, xyz, new_xyz, mask)
 
     def query_one(pts, centers, m):
         n = pts.shape[0]
@@ -197,7 +207,21 @@ def three_nn(unknown, known, known_mask):
     """
     def one(u, k, m):
         s = k.shape[0]
-        d2 = jnp.sum((u[:, None, :] - k[None, :, :]) ** 2, axis=-1)  # (N, S)
+        # matmul form |u|^2 + |k|^2 - 2 u.k: the broadcast-subtract form
+        # materializes (N, S, 3) planes (~3 GB of traffic at 16384x4096,
+        # measured 4.1 ms); the cross term is one MXU pass and the (N, S)
+        # output is the only large array (~0.9 ms). Coordinates are centered
+        # on the valid-known mean first so the cancellation noise stays
+        # ~1e-4 m^2 (f32 eps x |x|^2 <= ~1e3) — reordering only near-ties,
+        # whose inverse-distance weights are interchangeable (the same
+        # argument as the approx_max_k recall target below).
+        ctr = jnp.sum(jnp.where(m[:, None], k, 0.0), axis=0) \
+            / jnp.clip(m.sum(), 1, None)
+        uc = u - ctr
+        kc = jnp.where(m[:, None], k - ctr, 0.0)
+        d2 = (jnp.sum(uc * uc, axis=-1)[:, None]
+              + jnp.sum(kc * kc, axis=-1)[None, :]
+              - 2.0 * (uc @ kc.T))                                   # (N, S)
         d2 = jnp.where(m[None, :], d2, INF)
         if s >= 1024:
             # partial reduction instead of a full per-row sort (see

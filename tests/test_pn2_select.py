@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from hvpr_tpu.ops.pn2_select import ball_query_bucket, three_nn_bucket
+from hvpr_tpu.ops.pn2_select import (ball_query_bucket,
+                                     ball_query_bucket_xla, three_nn_bucket)
 
 _BIG = 1e30
 
@@ -98,6 +99,31 @@ def test_ball_query_collision_regime_invariants():
         # backfill: padded slots repeat the first hit
         if cnt[0, si] and cnt[0, si] < ns:
             assert (idx[0, si][cnt[0, si]:] == idx[0, si][0]).all()
+
+
+def test_ball_query_xla_twin_matches_kernel():
+    """ball_query_bucket_xla reproduces the interpret-mode kernel EXACTLY,
+    including the collision regime (N > 128, dense clusters guaranteeing
+    many mod-128 bucket collisions) and padded tails (N not a multiple of
+    128). This is what lets the AP-level A/B (test_round4_ap_ab.py) train
+    under kernel semantics on the CPU test backend."""
+    rng = np.random.default_rng(11)
+    for n, s, ns, r in ((1024, 32, 8, 1.5), (700, 16, 16, 2.5)):
+        b = 2
+        # dense cluster: most points inside one ball -> heavy collisions
+        xyz = rng.uniform(-2, 2, (b, n, 3)).astype(np.float32)
+        centers = rng.uniform(-1, 1, (b, s, 3)).astype(np.float32)
+        mask = np.ones((b, n), bool)
+        mask[0, n - 50:] = False
+        ki, kc = ball_query_bucket(r, ns, jnp.asarray(xyz),
+                                   jnp.asarray(centers), jnp.asarray(mask),
+                                   interpret=True)
+        xi, xc = ball_query_bucket_xla(r, ns, jnp.asarray(xyz),
+                                       jnp.asarray(centers),
+                                       jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(kc), np.asarray(xc))
+        np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
+        assert int(np.asarray(kc).max()) == ns  # collisions actually occur
 
 
 def test_three_nn_exact_regime(small):

@@ -23,6 +23,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (shared with bench.py/tests): the stage-prefix
+# programs are identical run-to-run and each costs minutes to compile cold
+# through the axon remote-compile helper
+jax.config.update('jax_compilation_cache_dir', os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    'tests/.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 from hvpr_tpu.config import cfg_from_yaml_file, ConfigDict
 from hvpr_tpu.models import build_network
 from hvpr_tpu.models.detectors.detector3d_template import post_processing

@@ -28,6 +28,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache — see tools/profile_stages.py
+jax.config.update('jax_compilation_cache_dir', os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    'tests/.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 from hvpr_tpu.config import cfg_from_yaml_file, ConfigDict
 from hvpr_tpu.models import build_network
 from hvpr_tpu.optimization import build_optimizer
