@@ -38,10 +38,12 @@ class _Block(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        x = ConvBNReLU(self.features, stride=self.stride, dtype=self.dtype)(x, train)
+    def __call__(self, x, train: bool, splits: int = 1):
+        x = ConvBNReLU(self.features, stride=self.stride,
+                       dtype=self.dtype)(x, train, splits=splits)
         for _ in range(self.layer_num):
-            x = ConvBNReLU(self.features, dtype=self.dtype)(x, train)
+            x = ConvBNReLU(self.features, dtype=self.dtype)(x, train,
+                                                            splits=splits)
         return x
 
 
@@ -126,12 +128,12 @@ class BaseBEVBackboneScale(nn.Module):
                          for i in range(len(layer_nums))]
         self.attention = SpatialAttention()
 
-    def _level(self, i, x, y, train):
+    def _level(self, i, x, y, train, splits=1):
         """One level's SFM stack: conv -> CBAM(scale) -> residual, repeated."""
         x_att = x
         for _ in range(self.sfm_layer_nums[i]):
-            t = self.sfm_blocks[i](x_att, train)
-            t = self.attention(t, y, train)
+            t = self.sfm_blocks[i](x_att, train, splits=splits)
+            t = self.attention(t, y, train, splits=splits)
             if self.dt is not None:
                 t = t.astype(self.dt)          # keep the residual chain bf16
             x_att = t + x_att
@@ -141,7 +143,37 @@ class BaseBEVBackboneScale(nn.Module):
         y = batch_dict['spatial_scale_features']
         x = batch_dict['spatial_features']
 
-        if train:
+        if train and str(self.model_cfg.get('DUAL_PASS', 'stacked')) == 'stacked':
+            # ONE batched pass over [memory-fused ; point-fused] instead of
+            # two sequential shared-weight passes: convs run at 2x batch
+            # (the b4 train pass measured ~2x worse MXU utilization per scan
+            # than the b16 eval pass), while SplitBatchNorm reproduces the
+            # reference's per-pass BN statistics (base_bev_backbone.py:
+            # 228-279) — OUTPUTS are exact vs the sequential oracle
+            # (tests/test_dual_pass.py, 2e-5). One bounded deviation: for
+            # modules visited multiple times per step (the repeated SFM
+            # convs / attention BN), the running-stat EMA updates interleave
+            # (x-iter1, pt-iter1, x-iter2, ...) instead of finishing the x
+            # pass first — a ~1e-3 relative trajectory difference, far
+            # below batch-to-batch stat noise, with the same fixed point.
+            # The scale stream y runs once (as upstream) and is tiled
+            # across the two halves; the attention BN sees the tiled
+            # (identical-stats) halves split-wise. 'sequential' mode below
+            # is the parity oracle.
+            b = x.shape[0]
+            xx = jnp.concatenate([x, batch_dict['spatial_features_point']],
+                                 axis=0)
+            ups2 = []
+            for i, block in enumerate(self.blocks):
+                xx = block(xx, train, splits=2)
+                y = self.scale_blocks[i](y, train)
+                yy = jnp.concatenate([y, y], axis=0)
+                lvl = self._level(i, xx, yy, train, splits=2)
+                ups2.append(self.deblocks[i](lvl, train, splits=2))
+            cat = jnp.concatenate(ups2, axis=-1)
+            batch_dict['spatial_features_2d'] = cat[:b]
+            batch_dict['spatial_features_point_2d'] = cat[b:]
+        elif train:
             x_pt = batch_dict['spatial_features_point']
             ups, ups_pt = [], []
             for i, block in enumerate(self.blocks):

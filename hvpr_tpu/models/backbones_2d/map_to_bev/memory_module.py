@@ -148,14 +148,15 @@ class MemoryUnitAgg(nn.Module):
         Args:
             pillars: (B, V, C); k: static int; mode: see above.
             vmask: optional (B, V) pillar validity. When given, the fused
-                lookup runs only on the shortest quarter-of-V prefix
-                containing every valid row (``lax.switch`` over four prefix
+                lookup runs only on the shortest eighth-of-V prefix
+                containing every valid row (``lax.switch`` over eight prefix
                 lengths, chosen by the LAST valid index — exact for any mask
                 layout; invalid rows' outputs are discarded by the canvas
                 scatter anyway). The device voxelizer compacts valid pillars
-                to a per-sample prefix and a typical KITTI scan fills ~half
-                of the 16k slots, so serving usually runs the half-length
-                branch (reference contract data_processor.py:50-55).
+                to a per-sample prefix and a typical KITTI scan fills ~0.6
+                of the 16k slots (measured 9.4-9.6k), so serving runs the
+                5/8 branch; the round-4 quarter granularity forced 3/4
+                (reference contract data_processor.py:50-55).
         Returns:
             dict(output=(B, V, C)); plus att=(B, V, M) addressing logits for
             the exact/approx modes (unused downstream in eval — DCE'd).
@@ -175,13 +176,13 @@ class MemoryUnitAgg(nn.Module):
             if vmask is None or v < 512:
                 out = run_prefix(v)
             else:
-                quarters = [max(1, (v * q) // 4) for q in (1, 2, 3, 4)]
+                eighths = [max(1, (v * q) // 8) for q in range(1, 9)]
                 need = jnp.max(jnp.where(
                     vmask, jnp.arange(v, dtype=jnp.int32)[None, :] + 1, 0))
-                level = jnp.searchsorted(jnp.asarray(quarters), need,
+                level = jnp.searchsorted(jnp.asarray(eighths), need,
                                          side='left')
                 out = jax.lax.switch(
-                    level, [lambda vp=vp: run_prefix(vp) for vp in quarters])
+                    level, [lambda vp=vp: run_prefix(vp) for vp in eighths])
             return {'output': out.astype(pillars.dtype)}
 
         logits = jnp.einsum('bvc,mc->bvm', pillars, self.weight)

@@ -141,28 +141,33 @@ def post_processing(batch_dict, post_cfg, num_class):
 
     # Hierarchical NMS (ops/nms.py module docstring): the (K, K) rotated-IoU
     # matrix dominates post-processing, so when few candidates clear
-    # SCORE_THRESH the top-stage1 run is bit-exact vs the full
-    # NMS_PRE_MAXSIZE run. The branch lives HERE, above the batch vmap, on an
-    # unbatched predicate — a vmapped lax.cond lowers to select and would
-    # execute BOTH branches.
+    # SCORE_THRESH a top-K run at the smallest K >= n_live is bit-exact vs
+    # the full NMS_PRE_MAXSIZE run. The ladder generalizes the round-3
+    # two-stage cond: NMS_STAGE_SIZES (default [NMS_STAGE1_MAXSIZE]) lists
+    # ascending stage sizes below pre_max; lax.switch picks the first level
+    # that contains every live candidate. The switch lives HERE, above the
+    # batch vmap, on an unbatched predicate — a vmapped cond/switch lowers
+    # to select and would execute ALL branches.
     pre_max = min(int(nms_cfg['NMS_PRE_MAXSIZE']), cls_preds.shape[1])
-    stage1 = min(int(nms_cfg.get('NMS_STAGE1_MAXSIZE', 1024)), pre_max)
-    if score_thresh is not None and stage1 < pre_max:
+    ladder = nms_cfg.get('NMS_STAGE_SIZES',
+                         [int(nms_cfg.get('NMS_STAGE1_MAXSIZE', 1024))])
+    levels = sorted({min(int(s), pre_max) for s in ladder} | {pre_max})
+    if score_thresh is not None and len(levels) > 1:
         if multi_class:
-            # each per-class NMS must have its live set inside stage1; the
-            # max over classes is CONSERVATIVE — one busy class forces the
-            # full pre_maxsize branch for all classes (correct, just slower;
-            # pinned by tests/test_multiclass.py::
+            # each per-class NMS must have its live set inside the level; the
+            # max over classes is CONSERVATIVE — one busy class forces a
+            # bigger level for all classes (correct, just slower; pinned by
+            # tests/test_multiclass.py::
             # test_multiclass_hierarchical_nms_busy_class_fallback)
             n_live = jnp.max(jnp.sum(cls_preds >= score_thresh, axis=1))
         else:
             # the agnostic NMS scores anchors by their max-class score
             n_live = jnp.max(jnp.sum(
                 cls_preds.max(axis=-1) >= score_thresh, axis=-1))
-        boxes, scores, labels, mask, capped = jax.lax.cond(
-            n_live <= stage1,
-            lambda: run_nms(stage1),
-            lambda: run_nms(pre_max))
+        idx = jnp.searchsorted(jnp.asarray(levels), n_live, side='left')
+        boxes, scores, labels, mask, capped = jax.lax.switch(
+            jnp.minimum(idx, len(levels) - 1),
+            [lambda lv=lv: run_nms(lv) for lv in levels])
     else:
         boxes, scores, labels, mask, capped = run_nms(pre_max)
     out = {

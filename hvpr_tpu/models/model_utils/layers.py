@@ -91,6 +91,66 @@ class DenseT(nn.Module):
         return y
 
 
+class SplitBatchNorm(nn.Module):
+    """BatchNorm computing batch statistics PER leading-axis split.
+
+    With ``splits=1`` this is numerically ``nn.BatchNorm`` (biased batch
+    variance for both normalization and the stored running var, flax
+    semantics, f32 statistics) and shares its variable names
+    (params scale/bias, batch_stats mean/var) — name instances
+    ``'BatchNorm_0'`` for checkpoint compatibility.
+
+    ``splits=S`` treats the batch as S stacked groups of B/S samples:
+    each group is normalized by its OWN batch statistics and the running
+    stats are updated SEQUENTIALLY, group 0 first. This makes one batched
+    conv pass over ``concat([map_a, map_b], axis=0)`` produce bit-identical
+    BN behavior to the reference's two sequential shared-weight passes
+    (base_bev_backbone.py:228-279 — forward x through the block, then
+    x_point through the same block), while the convs run at 2x batch.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, train: bool, splits: int = 1):
+        c = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, (c,))
+        bias = self.param('bias', nn.initializers.zeros, (c,))
+
+        xf = x.astype(jnp.float32)
+        if not train:
+            y = (xf - ra_mean.value) * jax.lax.rsqrt(
+                ra_var.value + self.epsilon)
+            return y * scale + bias
+
+        s = int(splits)
+        b = x.shape[0]
+        assert b % s == 0, (b, s)
+        xs = xf.reshape(s, b // s, *x.shape[1:])
+        red = tuple(range(1, xs.ndim - 1))
+        mean_s = xs.mean(axis=red)                               # (s, C)
+        bshape = (s,) + (1,) * (xs.ndim - 2) + (c,)
+        var_s = ((xs - mean_s.reshape(bshape)) ** 2).mean(axis=red)
+        y = (xs - mean_s.reshape(bshape)) * jax.lax.rsqrt(
+            var_s.reshape(bshape) + self.epsilon)
+        y = y.reshape(x.shape) * scale + bias
+
+        if not self.is_initializing():
+            m = self.momentum
+            rm, rv = ra_mean.value, ra_var.value
+            for i in range(s):                 # sequential: group 0 first
+                rm = m * rm + (1 - m) * mean_s[i]
+                rv = m * rv + (1 - m) * var_s[i]
+            ra_mean.value = rm
+            ra_var.value = rv
+        return y
+
+
 class ConvBNReLU(nn.Module):
     """3x3-style conv + BN + ReLU block (NHWC), torch-compatible padding.
 
@@ -98,6 +158,9 @@ class ConvBNReLU(nn.Module):
     statistics) and emits bf16 activations — on TPU the BN/ReLU/cast fuse
     into the conv epilogue, so the HBM-resident tensor between blocks is
     half-width. Enabled by BACKBONE_2D.COMPUTE_DTYPE.
+
+    ``splits`` (call-time): per-split BN statistics for stacked
+    shared-weight passes — see :class:`SplitBatchNorm`.
     """
 
     features: int
@@ -109,14 +172,14 @@ class ConvBNReLU(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, splits: int = 1):
         pad = ((self.padding, self.padding), (self.padding, self.padding))
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride), padding=pad,
                     use_bias=not self.use_bn, dtype=self.dtype)(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3)(x)
+            x = SplitBatchNorm(momentum=0.99, epsilon=1e-3,
+                               name='BatchNorm_0')(x, train, splits=splits)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         if self.use_relu:
@@ -132,11 +195,12 @@ class DeconvBNReLU(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, splits: int = 1):
         x = nn.ConvTranspose(self.features, (self.stride, self.stride),
                              strides=(self.stride, self.stride), padding='VALID',
                              use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3)(x)
+        x = SplitBatchNorm(momentum=0.99, epsilon=1e-3,
+                           name='BatchNorm_0')(x, train, splits=splits)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         return nn.relu(x)

@@ -120,7 +120,7 @@ def main():
 
     @jax.jit
     def full(s, b):
-        return jax.vmap(lambda ss, bb: nms_bev_fixed(
+        return jax.vmap(lambda bb, ss: nms_bev_fixed(
             bb, ss, 0.1, pre_maxsize=4096, post_maxsize=500,
             stage1=1024))(b, s)
 
