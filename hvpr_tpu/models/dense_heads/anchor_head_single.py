@@ -65,6 +65,29 @@ def add_sin_difference(boxes1, boxes2, dim=6):
     return b1, b2
 
 
+class _Conv1x1Params(nn.Module):
+    """Parameter container matching ``nn.Conv(features, (1, 1))``'s tree.
+
+    The three head convs are 1x1 — i.e. one channel-axis matmul each — and
+    running them separately reads the (B, H, W, 384) BEV map three times per
+    path (the head stage is input-read-bound: 2.9 ms fwd at batch 4 for ~4
+    GFLOP). This module only DECLARES the kernel/bias (same names/shapes as
+    nn.Conv, so checkpoints and the torch importer are unchanged); the head
+    concatenates the kernels and reads the map once.
+    """
+
+    features: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, in_channels: int):
+        kernel = self.param('kernel', self.kernel_init,
+                            (1, 1, in_channels, self.features))
+        bias = self.param('bias', self.bias_init, (self.features,))
+        return kernel, bias
+
+
 class AnchorHeadSingle(nn.Module):
     model_cfg: dict
     input_channels: int
@@ -100,13 +123,20 @@ class AnchorHeadSingle(nn.Module):
 
         na = self.num_anchors_per_location
         pi = 0.01
-        self.conv_cls = nn.Conv(na * self.num_class, (1, 1),
-                                bias_init=nn.initializers.constant(-math.log((1 - pi) / pi)))
-        self.conv_box = nn.Conv(na * self.box_coder.code_size, (1, 1),
-                                kernel_init=nn.initializers.normal(0.001))
+        self.conv_cls = _Conv1x1Params(
+            na * self.num_class,
+            bias_init=nn.initializers.constant(-math.log((1 - pi) / pi)))
+        self.conv_box = _Conv1x1Params(na * self.box_coder.code_size,
+                                       kernel_init=nn.initializers.normal(0.001))
         self.use_dir = self.model_cfg.get('USE_DIRECTION_CLASSIFIER', False)
         if self.use_dir:
-            self.conv_dir = nn.Conv(na * int(self.model_cfg['NUM_DIR_BINS']), (1, 1))
+            self.conv_dir = _Conv1x1Params(na * int(self.model_cfg['NUM_DIR_BINS']))
+        # matmul dtype for the fused head (f32 accumulation either way);
+        # hvpr.yaml sets bf16 to match the backbone's COMPUTE_DTYPE — AP
+        # impact bounded by the bf16 leg of tests/test_topk_ap_ab.py
+        name = str(self.model_cfg.get('COMPUTE_DTYPE', 'fp32')).lower()
+        self.compute_dtype = (jnp.bfloat16 if name in ('bf16', 'bfloat16')
+                              else jnp.float32)
 
         self.cls_loss_func = loss_utils.SigmoidFocalClassificationLoss(alpha=0.25, gamma=2.0)
         code_weights = self.model_cfg['LOSS_CONFIG']['LOSS_WEIGHTS']['code_weights']
@@ -123,10 +153,32 @@ class AnchorHeadSingle(nn.Module):
         return jnp.asarray(flat)
 
     def _heads(self, feat):
-        """Apply the three 1x1 conv heads to a (B, H, W, C) map."""
-        cls = self.conv_cls(feat)
-        box = self.conv_box(feat)
-        dir_ = self.conv_dir(feat) if self.use_dir else None
+        """Apply the three 1x1 conv heads to a (B, H, W, C) map.
+
+        Fused: the kernels are concatenated along the output axis and the map
+        is read ONCE per pass (one matmul) instead of once per conv; outputs
+        are split back. Identical math to three separate 1x1 convs (the
+        concat/split VJPs route the gradients to the per-conv params).
+        """
+        in_ch = feat.shape[-1]
+        k_cls, b_cls = self.conv_cls(in_ch)
+        k_box, b_box = self.conv_box(in_ch)
+        kernels = [k_cls.reshape(in_ch, -1), k_box.reshape(in_ch, -1)]
+        biases = [b_cls, b_box]
+        if self.use_dir:
+            k_dir, b_dir = self.conv_dir(in_ch)
+            kernels.append(k_dir.reshape(in_ch, -1))
+            biases.append(b_dir)
+        w = jnp.concatenate(kernels, axis=-1)                 # (C, n_out)
+        bias = jnp.concatenate(biases)
+        dt = self.compute_dtype
+        out = jnp.einsum('bhwc,cf->bhwf', feat.astype(dt), w.astype(dt),
+                         preferred_element_type=jnp.float32) + bias
+        n_cls = k_cls.shape[-1]
+        n_box = k_box.shape[-1]
+        cls = out[..., :n_cls]
+        box = out[..., n_cls:n_cls + n_box]
+        dir_ = out[..., n_cls + n_box:] if self.use_dir else None
         return cls, box, dir_
 
     def __call__(self, batch_dict, train: bool = False):

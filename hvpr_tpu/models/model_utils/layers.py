@@ -40,17 +40,21 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param('bias', nn.initializers.zeros, (features,))
 
         if train:
+            # statistics ALWAYS accumulate in f32 (bf16 activations would
+            # lose ~3 decimal digits over ~1e6-element sums); the converts
+            # fuse into the reductions, so no extra materialization
+            x32 = x.astype(jnp.float32)
             if transposed:
-                m = mask.astype(x.dtype)[None, :]
+                m = mask.astype(jnp.float32)[None, :]
                 count = jnp.clip(m.sum(), 1.0, None)
-                mean = (x * m).sum(axis=1) / count
-                var = ((x - mean[:, None]) ** 2 * m).sum(axis=1) / count
+                mean = (x32 * m).sum(axis=1) / count
+                var = ((x32 - mean[:, None]) ** 2 * m).sum(axis=1) / count
             else:
-                m = mask.astype(x.dtype)[..., None]
+                m = mask.astype(jnp.float32)[..., None]
                 count = jnp.clip(m.sum(), 1.0, None)
                 reduce_axes = tuple(range(x.ndim - 1))
-                mean = (x * m).sum(axis=reduce_axes) / count
-                var = ((x - mean) ** 2 * m).sum(axis=reduce_axes) / count
+                mean = (x32 * m).sum(axis=reduce_axes) / count
+                var = ((x32 - mean) ** 2 * m).sum(axis=reduce_axes) / count
             if not self.is_initializing():
                 # torch BatchNorm normalizes with the biased batch variance
                 # but stores the UNBIASED (n-1) estimator in running_var;
@@ -64,9 +68,11 @@ class MaskedBatchNorm(nn.Module):
 
         if transposed:
             inv = jax.lax.rsqrt(var + self.epsilon)
-            return (x - mean[:, None]) * (inv * scale)[:, None] + bias[:, None]
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+            y = ((x.astype(jnp.float32) - mean[:, None]) * (inv * scale)[:, None]
+                 + bias[:, None])
+            return y.astype(x.dtype)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class DenseT(nn.Module):
@@ -84,10 +90,13 @@ class DenseT(nn.Module):
     def __call__(self, x_t):
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (x_t.shape[0], self.features))
-        y = jnp.einsum('io,ir->or', kernel, x_t)
+        # follow the input dtype: bf16 activations run the matmul on the MXU
+        # in bf16 with f32 accumulation and emit bf16 (params stay f32)
+        y = jnp.einsum('io,ir->or', kernel.astype(x_t.dtype), x_t,
+                       preferred_element_type=jnp.float32).astype(x_t.dtype)
         if self.use_bias:
             y = y + self.param('bias', nn.initializers.zeros,
-                               (self.features,))[:, None]
+                               (self.features,))[:, None].astype(x_t.dtype)
         return y
 
 

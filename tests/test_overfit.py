@@ -79,6 +79,10 @@ def test_hvpr_loss_decreases(compute_dtype):
     """
     cfg = tiny_model_cfg()
     cfg['BACKBONE_2D']['COMPUTE_DTYPE'] = compute_dtype
+    # the flagship config also runs the point stream and the fused head in
+    # bf16 (round 5); cover the full mixed-precision training path
+    cfg['BACKBONE_3D']['COMPUTE_DTYPE'] = compute_dtype
+    cfg['DENSE_HEAD']['COMPUTE_DTYPE'] = compute_dtype
     rng = np.random.default_rng(1)
     batch = make_batch(rng, batch_size=2)
     net, first, last = _train(cfg, 60, batch)
